@@ -1,0 +1,329 @@
+"""The scheduling epoch — one DataFrame job per epoch — and the
+adaptive-phase crawl controller (the Spark-native replacement for the
+reference's smart-crawler loop, /root/reference/scripts/smart_crawler.py).
+
+Per epoch (SURVEY §3.2 mapping):
+
+  candidates = (frontier deltas ⟕anti failed) ∪ retryable-failed
+             → dedup-by-url_hash (min (depth, parent) rule)
+  admitted   = F2 column filters → robots gate → F5 anti-join vs visited
+  scored     = D5 job_type + F4 priority (pure columns)
+  selected   = F3 window rank ≤ F8 per-host slots → global top-K
+  results    = A4 salted fetch UDF  (cached: 5 outputs derive from it)
+  outputs    = visited Δ, images Δ, failed state, frontier Δ (F11 link
+               emit via the closed-form graph), metrics per host_bucket
+  commit     = SnapshotStore.write_epoch (atomic manifest)
+
+Counter semantics (candidates/admitted) use ``df.observe`` so no extra
+pass over the data is spent on metrics. Resume (F16): the controller
+restarts from ``store.latest_epoch()+1``; an epoch interrupted before
+its manifest commit is invisible and re-runs identically (all inputs
+are functions of committed state + the deterministic world).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from . import fixtures as fx
+from .functions.url import canonicalize, hash60, host_bucket, url_host
+from .operators import admission, fetch as fetch_op, schedule
+from .operators.jobtype import job_type
+from .operators.priority import priority_score
+from .state.bloom import BloomSeenSet
+from .state.snapshots import FRONTIER_SCHEMA, SnapshotStore
+
+
+@dataclass
+class EpochConfig:
+    max_depth: int = admission.MAX_DEPTH_DEFAULT
+    max_retries: int = admission.MAX_RETRIES
+    epoch_seconds: float = 60.0
+    epoch_budget: int | None = 10_000
+    num_buckets: int = 32
+    salt_buckets: int = 8
+    host_scope_re: str = admission.HOST_SCOPE_RE
+    respect_robots: bool = True
+    use_bloom: bool = False
+    bloom_fpp: float = 0.01
+
+
+def seeds_to_frontier(seeds: DataFrame, url_col: str = "url") -> DataFrame:
+    """A1: seed list → frontier delta at depth 0 (crawler.py:984-1022)."""
+    canon = canonicalize(F.col(url_col))
+    return (
+        seeds.select(canon.alias("url_canon"))
+        .filter(F.col("url_canon").isNotNull())
+        .select(
+            "url_canon",
+            hash60(F.col("url_canon")).alias("url_hash"),
+            url_host(F.col("url_canon")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+
+
+def dedup_candidates(cands: DataFrame) -> DataFrame:
+    """Keep one row per url_hash: min (depth, parent_url, attempt).
+    Deterministic replacement for the reference's first-enqueue-wins
+    (which is thread-order-dependent, crawler.py:685-749)."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("depth").asc(), F.col("parent_url").asc_nulls_first(), F.col("attempt").asc()
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def emit_links(fetched_ok: DataFrame) -> DataFrame:
+    """F11/F1: closed-form out-links → explode → canonicalize → delta."""
+    links = fetched_ok.select(
+        F.col("url_canon").alias("parent_url"),
+        F.col("depth"),
+        F.explode(fx.out_links(F.col("url_canon"), F.col("depth"))).alias("url_raw"),
+    )
+    canon = canonicalize(F.col("url_raw"))
+    out = links.select(
+        canon.alias("url_canon"),
+        F.col("parent_url"),
+        (F.col("depth") + 1).alias("depth"),
+    ).filter(F.col("url_canon").isNotNull())
+    out = out.select(
+        "url_canon",
+        hash60(F.col("url_canon")).alias("url_hash"),
+        url_host(F.col("url_canon")).alias("host"),
+        F.col("depth").cast("int").alias("depth"),
+        "parent_url",
+    )
+    # in-delta dedup (same tie-break rule as candidate dedup)
+    w = Window.partitionBy("url_hash").orderBy(F.col("depth").asc(), F.col("parent_url").asc())
+    return out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def run_epoch(
+    spark: SparkSession,
+    store: SnapshotStore,
+    epoch: int,
+    cfg: EpochConfig,
+    robots_rules: DataFrame | None = None,
+) -> dict:
+    t0 = time.time()
+    visited = store.read_upto("visited", epoch - 1).select("url_hash")
+    failed_prev = store.read_upto("failed", epoch - 1)
+    frontier = store.read_upto("frontier", epoch - 1)
+
+    fresh = (
+        frontier.select("url_canon", "url_hash", "host", "depth", "parent_url")
+        .withColumn("attempt", F.lit(1))
+        .join(failed_prev.select("url_hash"), "url_hash", "left_anti")
+    )
+    retries = (
+        admission.retry_candidates(failed_prev, cfg.max_retries)
+        .withColumn("attempt", F.col("attempts") + 1)
+        .drop("attempts")
+    )
+    candidates = dedup_candidates(fresh.unionByName(retries))
+
+    obs = Observation("admission")
+    candidates = candidates.observe(obs, F.count(F.lit(1)).alias("candidates"))
+
+    bloom = None
+    if cfg.use_bloom:
+        bloom = BloomSeenSet.build(visited, "url_hash", fpp=cfg.bloom_fpp)
+
+    admitted = admission.admit(
+        candidates,
+        visited,
+        max_depth=cfg.max_depth,
+        host_scope_re=cfg.host_scope_re,
+        robots_rules=robots_rules,
+        respect_robots=cfg.respect_robots,
+        bloom=bloom,
+    )
+    admitted = admitted.withColumn("job_type", job_type(F.col("url_canon"))).withColumn(
+        "priority",
+        priority_score(F.col("depth"), F.col("job_type"), F.col("url_canon")),
+    )
+
+    selected = schedule.select_epoch(
+        schedule.with_slots(admitted, robots_rules, cfg.epoch_seconds),
+        epoch_budget=cfg.epoch_budget,
+    )
+
+    results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_selected = results.count()  # materialize once
+
+    ok = results.filter(F.col("status") == 200)
+    fail = results.filter(F.col("status") != 200)
+
+    visited_delta = ok.select("url_hash", "url_canon", "host", "status")
+    images_delta = ok.select(
+        "image_id", "url_canon", "url_hash", "host", "bytes", "w", "h", "fmt",
+        "caption", "phash",
+    )
+    failed_cols = ["url_hash", "url_canon", "host", "depth", "parent_url", "attempts", "last_status"]
+    failed_state = failed_prev.select(*failed_cols).join(
+        results.select("url_hash"), "url_hash", "left_anti"
+    ).unionByName(
+        fail.select(
+            "url_hash", "url_canon", "host", "depth", "parent_url",
+            F.col("attempt").alias("attempts"), F.col("status").alias("last_status"),
+        )
+    )
+    frontier_delta = emit_links(ok)
+
+    bucket = host_bucket(F.col("host"), cfg.num_buckets)
+    metrics = (
+        results.groupBy(bucket.alias("host_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("selected"),
+            F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+            F.sum((F.col("status") != 200).cast("long")).alias("fetched_fail"),
+        )
+        .join(
+            frontier_delta.groupBy(
+                host_bucket(F.col("host"), cfg.num_buckets).alias("host_bucket")
+            ).agg(
+                F.count(F.lit(1)).alias("new_frontier")
+            ),
+            "host_bucket",
+            "full_outer",
+        )
+        .withColumn("candidates", F.lit(None).cast("long"))
+        .withColumn("admitted", F.lit(None).cast("long"))
+        .select(
+            "host_bucket", "candidates", "admitted",
+            F.coalesce("selected", F.lit(0)).alias("selected"),
+            F.coalesce("fetched_ok", F.lit(0)).alias("fetched_ok"),
+            F.coalesce("fetched_fail", F.lit(0)).alias("fetched_fail"),
+            F.coalesce("new_frontier", F.lit(0)).alias("new_frontier"),
+        )
+    )
+
+    store.write_epoch(
+        epoch,
+        {
+            "visited": visited_delta,
+            "images": images_delta,
+            "failed": failed_state,
+            "frontier": frontier_delta,
+            "metrics": metrics,
+        },
+        stats=None,  # filled below (needs the observation, post-action)
+    )
+    stats = {
+        "epoch": epoch,
+        "selected": n_selected,
+        "fetched_ok": ok.count(),
+        "fetched_fail": fail.count(),
+        "candidates": obs.get.get("candidates", None) if obs.get else None,
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    manifest = store._read_manifest()
+    manifest["epochs"][str(epoch)]["stats"] = stats
+    store._write_manifest(manifest)
+    results.unpersist()
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# F13 — adaptive phase machine (smart_crawler.py:91-97, 396-462)
+# ---------------------------------------------------------------------------
+
+PHASE_SLEEP_MIN = {"initial": 1, "active": 30, "steady": 180, "maintenance": 1440}
+PHASE_ORDER = ["initial", "active", "steady", "maintenance"]
+
+
+@dataclass
+class PhaseMachine:
+    """Faithful transition logic; jitter is seeded (the reference uses
+    random.uniform(0.8, 1.2) — nondeterminism ban, SURVEY §7 risk 6)."""
+
+    phase: str = "initial"
+    urls_processed: int = 0
+    urls_new_content: int = 0
+    minutes_in_phase: float = 0.0
+    transitions: list = field(default_factory=list)
+
+    def record(self, processed: int, new_content: int, minutes: float) -> None:
+        self.urls_processed += processed
+        self.urls_new_content += new_content
+        self.minutes_in_phase += minutes
+
+    def _pct_new(self) -> float:
+        return self.urls_new_content / max(1, self.urls_processed) * 100
+
+    def update(self) -> str:
+        if self.phase == "initial":
+            if self.urls_processed > 100 or self.minutes_in_phase > 60:
+                self._change("active")
+        elif self.phase == "active":
+            if (self.urls_processed > 1000 or self.minutes_in_phase > 240) and self._pct_new() < 20:
+                self._change("steady")
+        elif self.phase == "steady":
+            if (self.urls_processed > 5000 or self.minutes_in_phase > 1440) and self._pct_new() < 5:
+                self._change("maintenance")
+        return self.phase
+
+    def _change(self, new_phase: str) -> None:
+        self.transitions.append(
+            {"from": self.phase, "to": new_phase, "urls_processed": self.urls_processed}
+        )
+        self.phase = new_phase
+        self.urls_processed = 0
+        self.urls_new_content = 0
+        self.minutes_in_phase = 0.0
+
+    def sleep_minutes(self, epoch: int) -> float:
+        """base × seeded jitter in [0.8, 1.2] (deterministic per epoch)."""
+        base = PHASE_SLEEP_MIN[self.phase]
+        jitter = 0.8 + (fx.py_hash60(f"jitter:{epoch}") % 4001) / 10000.0
+        return base * jitter
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: DataFrame,
+    cfg: EpochConfig,
+    num_epochs: int,
+    robots_rules: DataFrame | None = None,
+    sleep_scale: float = 0.0,
+) -> list[dict]:
+    """Drive `num_epochs` epochs, resuming from the store's manifest.
+
+    F14: if the live frontier is empty at an epoch top, seeds are
+    re-injected (smart_crawler.py:780-783) — here, seeds are written as
+    the epoch--1 frontier delta on first run, and the loop stops early
+    when an epoch selects nothing (horizon exhausted).
+    """
+    start = store.latest_epoch() + 1
+    if start == 0:
+        store.write_epoch(0, {"frontier": seeds_to_frontier(seeds)}, stats={"seeded": True})
+        start = 1
+    machine = PhaseMachine()
+    all_stats = []
+    for epoch in range(start, start + num_epochs):
+        stats = run_epoch(spark, store, epoch, cfg, robots_rules=robots_rules)
+        all_stats.append(stats)
+        machine.record(
+            processed=stats["selected"],
+            new_content=stats["fetched_ok"],
+            minutes=machine.sleep_minutes(epoch),
+        )
+        machine.update()
+        if sleep_scale > 0:
+            time.sleep(machine.sleep_minutes(epoch) * 60 * sleep_scale)
+        if stats["selected"] == 0:
+            break
+    return all_stats

@@ -1,0 +1,149 @@
+"""Distributed URL-seen set — per-partition Bloom filters merged via
+treeAggregate, broadcast back as a cheap pre-filter (F5).
+
+The reference keeps one in-memory Python set guarded by an RLock
+(/root/reference/core/crawler.py:167,185,275-287). Distributed, the
+exact structure is the ``visited`` snapshot table probed with a
+LEFT ANTI join; the Bloom filter is the *pre*-filter that lets most
+brand-new URLs skip the exact join's shuffle entirely:
+
+    candidates ──might_contain?──┬─ no  → definitely new (bloom has no
+                                 │        false negatives)
+                                 └─ yes → exact anti-join vs visited
+                                          (false-positive rate ~fpp)
+
+Build is vectorized numpy inside ``mapPartitions`` (one bit-array per
+partition), merged with bitwise OR via ``treeAggregate`` (depth 2+ for
+wide clusters), and broadcast. Probe is a vectorized numpy check inside
+an Arrow-batched pandas UDF. Double hashing (Kirsch–Mitzenmacher):
+idx_j = (h1 + j*h2) mod m with h1/h2 split from the 60-bit key — public
+standard technique.
+
+A cuckoo-filter variant (supports deletion, for re-crawl semantics)
+lives in :mod:`crawler_spark.state.cuckoo` behind the same interface.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class BloomSeenSet:
+    """Immutable broadcast Bloom filter over int64 url_hash keys."""
+
+    def __init__(self, bits: np.ndarray, num_hashes: int):
+        self.bits = bits  # uint8 array, len = m/8
+        self.num_hashes = num_hashes
+        self.num_bits = len(bits) * 8
+
+    # -- sizing ------------------------------------------------------------
+
+    @staticmethod
+    def params(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+        n = max(expected_keys, 1)
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = (m + 7) // 8 * 8
+        k = max(1, round(m / n * math.log(2)))
+        return m, min(k, 16)
+
+    # -- vectorized core ---------------------------------------------------
+
+    @staticmethod
+    def _indices(keys: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+        """(len(keys), k) bit indices via double hashing. keys: int64."""
+        u = keys.astype(np.uint64)
+        h1 = u % np.uint64(num_bits)
+        h2 = ((u >> np.uint64(30)) | np.uint64(1)) % np.uint64(num_bits)
+        j = np.arange(num_hashes, dtype=np.uint64)
+        return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(num_bits)
+
+    @classmethod
+    def _set_bits(cls, bits: np.ndarray, keys: np.ndarray, k: int) -> None:
+        idx = cls._indices(keys, len(bits) * 8, k).ravel()
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe → bool array. No false negatives."""
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(np.asarray(keys, dtype=np.int64), self.num_bits, self.num_hashes)
+        got = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return got.all(axis=1).astype(bool)
+
+    # -- distributed build ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        key_col: str = "url_hash",
+        expected_keys: int | None = None,
+        fpp: float = 0.01,
+        tree_depth: int = 2,
+    ) -> "BloomSeenSet":
+        """Per-partition numpy Blooms OR-merged via treeAggregate."""
+        if expected_keys is None:
+            expected_keys = df.count()
+        m, k = cls.params(expected_keys, fpp)
+        nbytes = m // 8
+
+        def build_partition(rows) -> np.ndarray:
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            keys = np.fromiter((r[0] for r in rows), dtype=np.int64)
+            if keys.size:
+                cls._set_bits(bits, keys, k)
+            return bits
+
+        def seq(acc: np.ndarray, part_bits: np.ndarray) -> np.ndarray:
+            np.bitwise_or(acc, part_bits, out=acc)
+            return acc
+
+        def comb(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            np.bitwise_or(a, b, out=a)
+            return a
+
+        part_blooms = df.select(key_col).rdd.mapPartitions(
+            lambda it: [build_partition(it)]
+        )
+        merged = part_blooms.treeAggregate(
+            np.zeros(nbytes, dtype=np.uint8), seq, comb, depth=tree_depth
+        )
+        return cls(merged, k)
+
+    # -- Spark probe ---------------------------------------------------------
+
+    def probe_udf(self, spark):
+        """Broadcast the filter; return a pandas UDF column fn for probing."""
+        bc = spark.sparkContext.broadcast((self.bits, self.num_hashes))
+
+        @F.pandas_udf("boolean")
+        def _might_contain(keys: pd.Series) -> pd.Series:
+            bits, k = bc.value
+            flt = BloomSeenSet(bits, k)
+            return pd.Series(flt.might_contain(keys.to_numpy(dtype=np.int64)))
+
+        return _might_contain
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    visited: DataFrame,
+    key: str = "url_hash",
+    bloom: BloomSeenSet | None = None,
+) -> DataFrame:
+    """F5: candidates not in visited. With a Bloom, only possible-hits
+    pay the exact anti-join; definite-new rows bypass the shuffle."""
+    if bloom is None:
+        return candidates.join(visited.select(key), key, "left_anti")
+    spark = candidates.sparkSession
+    probe = bloom.probe_udf(spark)
+    flagged = candidates.withColumn("__maybe_seen", probe(F.col(key)))
+    definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = maybe.join(visited.select(key), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)

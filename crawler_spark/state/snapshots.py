@@ -1,0 +1,170 @@
+"""Epoch snapshot store — parquet layout with manifest lineage (F16).
+
+The reference checkpoints a JSON blob of visited/failed/stats every
+300 s (/root/reference/core/crawler.py:353-438, 971-975). Here every
+scheduling epoch appends its deltas as hive-partitioned parquet:
+
+    {root}/{table}/epoch=N/part-*.parquet
+    {root}/MANIFEST.json       (atomic tmp+rename)
+
+Tables: ``frontier`` (append-only deltas), ``visited`` (append-only),
+``images`` (append-only), ``failed`` (complete state per epoch),
+``metrics`` (append-only, one row per (epoch, host_bucket) —
+per-partition lineage). Resume = read the manifest's latest committed
+epoch and load partitions epoch<=E (partition pruning keeps this a
+metadata operation + pruned scan).
+
+This is the Iceberg-snapshot design from SURVEY §1.3 with a plain
+parquet fallback since the sandbox has no Iceberg runtime jar; the API
+(append / read_upto / latest_epoch) is kept thin so an Iceberg backend
+can slot in on a real cluster (``writeTo(...).append()`` + snapshot
+ids replace the manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("parent_url", T.StringType()),
+])
+
+VISITED_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("status", T.IntegerType()),
+])
+
+FAILED_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("parent_url", T.StringType()),
+    T.StructField("attempts", T.IntegerType()),
+    T.StructField("last_status", T.IntegerType()),
+])
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("host_bucket", T.IntegerType()),
+    T.StructField("candidates", T.LongType()),
+    T.StructField("admitted", T.LongType()),
+    T.StructField("selected", T.LongType()),
+    T.StructField("fetched_ok", T.LongType()),
+    T.StructField("fetched_fail", T.LongType()),
+    T.StructField("new_frontier", T.LongType()),
+])
+
+TABLES = ("frontier", "visited", "failed", "images", "metrics")
+SCHEMAS = {
+    "frontier": FRONTIER_SCHEMA,
+    "visited": VISITED_SCHEMA,
+    "failed": FAILED_SCHEMA,
+    "images": IMAGES_SCHEMA,
+    "metrics": METRICS_SCHEMA,
+}
+# tables whose epoch=N dir is the COMPLETE state (not a delta)
+FULL_STATE_TABLES = {"failed"}
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.root / "MANIFEST.json"
+
+    def _read_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"latest_epoch": -1, "epochs": {}}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic commit
+
+    def latest_epoch(self) -> int:
+        return self._read_manifest()["latest_epoch"]
+
+    # -- write ---------------------------------------------------------------
+
+    def write_epoch(self, epoch: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
+        """Write all deltas for an epoch, then atomically commit the
+        manifest. An interrupted epoch (data written, manifest not) is
+        invisible to resume and is overwritten on retry."""
+        lineage: dict[str, dict] = {}
+        for name, df in tables.items():
+            path = self.root / name / f"epoch={epoch}"
+            df.write.mode("overwrite").parquet(str(path))
+            lineage[name] = {"path": str(path)}
+        manifest = self._read_manifest()
+        manifest["epochs"][str(epoch)] = {
+            "tables": lineage,
+            "stats": stats or {},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        manifest["latest_epoch"] = max(manifest["latest_epoch"], epoch)
+        self._write_manifest(manifest)
+
+    # -- read ----------------------------------------------------------------
+
+    def _table_root(self, table: str) -> Path:
+        return self.root / table
+
+    def read_upto(self, table: str, epoch: int | None = None) -> DataFrame:
+        """All committed rows of `table` at or before `epoch` (partition-
+        pruned). FULL_STATE tables return only the latest committed
+        epoch<=E. Uncommitted (post-manifest) epoch dirs are excluded."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+        manifest = self._read_manifest()
+        committed = sorted(
+            e
+            for e in (int(k) for k in manifest["epochs"])
+            if e <= epoch and table in manifest["epochs"][str(e)]["tables"]
+        )
+        if table in FULL_STATE_TABLES:
+            committed = committed[-1:]
+        paths = [str(self._table_root(table) / f"epoch={e}") for e in committed]
+        paths = [p for p in paths if Path(p).exists()]
+        if not paths:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        df = self.spark.read.option("basePath", str(self._table_root(table))).parquet(*paths)
+        return df
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
