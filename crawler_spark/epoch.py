@@ -166,7 +166,7 @@ def run_epoch(
     ok = results.filter(F.col("status") == 200)
     fail = results.filter(F.col("status") != 200)
 
-    visited_delta = ok.select("url_hash", "url_canon", "host", "status")
+    visited_delta = ok.select("url_hash", "url_canon", "host", "status", "depth", "priority")
     images_delta = ok.select(
         "image_id", "url_canon", "url_hash", "host", "bytes", "w", "h", "fmt",
         "caption", "phash",

@@ -71,7 +71,7 @@ def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 fmts.append(None)
                 captions.append(None)
                 phashes.append(None)
-        out = pdf[["url_canon", "url_hash", "host", "depth", "parent_url", "attempt"]].copy()
+        out = pdf[["url_canon", "url_hash", "host", "depth", "parent_url", "attempt", "priority"]].copy()
         out["status"] = pd.array(status, dtype="int32")
         out["image_id"] = image_id
         out["bytes"] = data
@@ -86,8 +86,8 @@ def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 FETCH_SCHEMA = (
     "url_canon string, url_hash long, host string, depth int, parent_url string,"
-    " attempt int, status int, image_id string, bytes binary, w int, h int,"
-    " fmt string, caption string, phash long, ua_index int"
+    " attempt int, priority int, status int, image_id string, bytes binary,"
+    " w int, h int, fmt string, caption string, phash long, ua_index int"
 )
 
 
@@ -100,9 +100,11 @@ def fetch(
     df = selected
     if "attempt" not in df.columns:
         df = df.withColumn("attempt", F.lit(1))
+    if "priority" not in df.columns:
+        df = df.withColumn("priority", F.lit(0))
     df = df.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"))
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     df = df.repartition(int(nparts), "host", "__salt").drop("__salt")
     return df.select(
-        "url_canon", "url_hash", "host", "depth", "parent_url", "attempt"
+        "url_canon", "url_hash", "host", "depth", "parent_url", "attempt", "priority"
     ).mapInPandas(_fetch_batches, schema=FETCH_SCHEMA)

@@ -47,6 +47,8 @@ VISITED_SCHEMA = T.StructType([
     T.StructField("url_canon", T.StringType()),
     T.StructField("host", T.StringType()),
     T.StructField("status", T.IntegerType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("priority", T.IntegerType()),
 ])
 
 FAILED_SCHEMA = T.StructType([
