@@ -1,0 +1,763 @@
+"""The oracle-checkable query registry — every operator family from
+SURVEY.md §2 exposed as (Spark DataFrame program, DuckDB SQL) pairs
+over the driver's testdata tables.
+
+`REGISTRY[name] = (fn, sql_or_None)`; `fn(spark, sf_dir) -> DataFrame`.
+Column names are aliased identically in both dialects (the driver's
+value-hash compare sorts columns by name). Queries with no SQL mirror
+(full-epoch runs, image payloads) get the driver's rows-only check.
+
+Naming: f* frontier, q* classical-relational, s* storage, t* text,
+dd* dedup, ann* similarity, mm* multimodal, fe* full-epoch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import relational as R
+from .functions import text as TX
+from .functions.url import (
+    sql_canonicalize,
+    sql_hash60,
+    sql_url_host,
+    sql_url_path,
+    url_path,
+)
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.jobtype import job_type, sql_job_type
+from .operators.priority import priority_score, sql_priority_score
+from .operators.schedule import select_epoch, with_slots
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL scaffolding for the frontier-relational corpus (mirrors relational.py)
+# ---------------------------------------------------------------------------
+
+_RAW = R.sql_url_raw()
+_CANON = sql_canonicalize(_RAW)
+
+SQL_CANDIDATES = (
+    f"SELECT o_orderkey AS k, {_RAW} AS url_raw, {_CANON} AS url_canon, "
+    f"{sql_hash60(_CANON)} AS url_hash, {sql_url_host(_CANON)} AS host, "
+    f"(o_orderkey % {R.DEPTH_MOD})::INT AS depth FROM orders"
+)
+SQL_VISITED = (
+    f"SELECT url_hash FROM ({SQL_CANDIDATES}) WHERE k % {R.VISITED_MOD} = 0"
+)
+
+# admission: depth cap + host scope + NOT IN visited (left anti)
+SQL_ADMITTED = (
+    f"WITH cand AS ({SQL_CANDIDATES}), vis AS ({SQL_VISITED}) "
+    f"SELECT c.k, c.url_canon, c.url_hash, c.host, c.depth FROM cand c "
+    f"WHERE c.depth <= {R.MAX_DEPTH} "
+    f"AND regexp_matches(c.host, '{R.HOST_SCOPE_RE}') "
+    f"AND NOT EXISTS (SELECT 1 FROM vis v WHERE v.url_hash = c.url_hash)"
+)
+
+
+# ---------------------------------------------------------------------------
+# frontier family
+# ---------------------------------------------------------------------------
+
+
+def f1_canonicalize(spark, sf_dir):
+    """F1: raw URL corpus → canonical form + portable 60-bit hash."""
+    return R.candidates_df(spark, sf_dir).select(
+        "k", "url_raw", "url_canon", "url_hash", "host"
+    )
+
+
+SQL_F1 = f"SELECT k, url_raw, url_canon, url_hash, host FROM ({SQL_CANDIDATES})"
+
+
+def f2_admission(spark, sf_dir):
+    """F2+F5: depth cap, host scope, anti-join vs the seen set."""
+    cand = R.candidates_df(spark, sf_dir)
+    vis = R.visited_df(spark, sf_dir)
+    return (
+        cand.filter(
+            (F.col("depth") <= R.MAX_DEPTH) & F.col("host").rlike(R.HOST_SCOPE_RE)
+        )
+        .join(vis, "url_hash", "left_anti")
+        .select("k", "url_canon", "url_hash", "host", "depth")
+    )
+
+
+SQL_F2 = f"SELECT k, url_canon, url_hash, host, depth FROM ({SQL_ADMITTED}) x"
+
+
+def f4_priority(spark, sf_dir):
+    """D5+F4: job-type classification + policy-engine priority score."""
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    return cand.select(
+        "k",
+        "url_canon",
+        job_type(F.col("url_canon")).alias("job_type"),
+        priority_score(
+            F.col("depth"), job_type(F.col("url_canon")), F.col("url_canon")
+        ).alias("priority"),
+    )
+
+
+SQL_F4 = (
+    f"SELECT k, url_canon, {sql_job_type('url_canon')} AS job_type, "
+    f"{sql_priority_score('depth', sql_job_type('url_canon'), 'url_canon')} AS priority "
+    f"FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL"
+)
+
+
+def f3_schedule(spark, sf_dir):
+    """F3+F8: per-host politeness slots, window rank, global top-K —
+    the distributed priority-queue pop."""
+    adm = f2_admission(spark, sf_dir)
+    adm = adm.withColumn("job_type", job_type(F.col("url_canon"))).withColumn(
+        "priority",
+        priority_score(F.col("depth"), F.col("job_type"), F.col("url_canon")),
+    )
+    # host{h}.example with h%5==3 is slow (delay 2.0), else 1.0
+    host_idx = F.regexp_extract(F.col("host"), r"^host(\d+)\.example$", 1).cast("int")
+    delay = F.when(
+        F.pmod(host_idx, R.SLOW_HOST_MOD) == R.SLOW_HOST_REM, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    adm = adm.withColumn(
+        "slots", F.greatest(F.lit(1), F.floor(F.lit(R.EPOCH_SECONDS) / delay)).cast("int")
+    )
+    sel = select_epoch(adm, epoch_budget=500)
+    return sel.select("k", "url_canon", "host", "priority", "depth", "host_rank")
+
+
+SQL_F3 = f"""
+WITH adm AS (
+  SELECT k, url_canon, url_hash, host, depth,
+         {sql_priority_score('depth', sql_job_type('url_canon'), 'url_canon')} AS priority
+  FROM ({SQL_ADMITTED}) x
+), slotted AS (
+  SELECT *, (CASE WHEN (regexp_extract(host, 'host(\\d+)\\.example', 1)::INT) % {R.SLOW_HOST_MOD} = {R.SLOW_HOST_REM}
+             THEN greatest(1, floor({R.EPOCH_SECONDS} / 2.0)) ELSE greatest(1, floor({R.EPOCH_SECONDS} / 1.0)) END) AS slots
+  FROM adm
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority ASC, depth ASC, url_hash ASC) AS host_rank
+  FROM slotted
+)
+SELECT k, url_canon, host, priority, depth, host_rank FROM ranked
+WHERE host_rank <= slots
+ORDER BY priority ASC, depth ASC, url_hash ASC LIMIT 500
+"""
+
+
+def f7_retry(spark, sf_dir):
+    """F7: failed rows under the retry budget re-enter with attempt+1."""
+    cand = R.candidates_df(spark, sf_dir)
+    failed = cand.filter(F.pmod(F.col("k"), R.FAIL_MOD) == 0).withColumn(
+        "attempts", F.pmod(F.col("k"), 4).cast("int")
+    )
+    return (
+        failed.filter(F.col("attempts") < 3)
+        .select("k", "url_canon", (F.col("attempts") + 1).alias("attempt"))
+    )
+
+
+SQL_F7 = (
+    f"SELECT k, url_canon, ((k % 4)::INT + 1) AS attempt FROM ({SQL_CANDIDATES}) "
+    f"WHERE k % {R.FAIL_MOD} = 0 AND (k % 4)::INT < 3"
+)
+
+
+def f15_metrics(spark, sf_dir):
+    """F15: per-host fetch outcome aggregation (status closed-form)."""
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    status = F.when(F.pmod(F.col("k"), R.FAIL_MOD) == 0, 503).otherwise(200)
+    return (
+        cand.withColumn("status", status)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("selected"),
+            F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+            F.sum((F.col("status") != 200).cast("long")).alias("fetched_fail"),
+            F.min("url_hash").alias("min_url_hash"),
+        )
+    )
+
+
+SQL_F15 = f"""
+SELECT host, count(*) AS selected,
+       sum(CASE WHEN k % {R.FAIL_MOD} = 0 THEN 0 ELSE 1 END)::BIGINT AS fetched_ok,
+       sum(CASE WHEN k % {R.FAIL_MOD} = 0 THEN 1 ELSE 0 END)::BIGINT AS fetched_fail,
+       min(url_hash) AS min_url_hash
+FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL GROUP BY host
+"""
+
+
+def f11_link_emit(spark, sf_dir):
+    """F11+F1: closed-form out-links of the 200 lowest-k admitted URLs
+    at depth 0, exploded + canonicalized + deduped by url_hash."""
+    from .fixtures import out_links
+
+    seeds = (
+        R.candidates_df(spark, sf_dir)
+        .filter(F.col("url_canon").isNotNull() & F.col("host").rlike(R.HOST_SCOPE_RE))
+        .orderBy("k")
+        .limit(200)
+        .select("url_canon")
+    )
+    from .functions.url import canonicalize, hash60, url_host
+
+    links = seeds.select(
+        F.col("url_canon").alias("parent"),
+        F.explode(out_links(F.col("url_canon"), F.lit(0))).alias("raw"),
+    )
+    canon = canonicalize(F.col("raw"))
+    out = links.select(
+        canon.alias("child_canon"), hash60(canon).alias("child_hash")
+    ).filter(F.col("child_canon").isNotNull())
+    return out.groupBy("child_hash").agg(
+        F.min("child_canon").alias("child_canon"), F.count(F.lit(1)).alias("n_parents")
+    )
+
+
+def _sql_f11() -> str:
+    from .fixtures import EXTERNAL_MOD, FANOUT_MOD, QUERY_MOD, QUERY_REM, SECTIONS
+
+    seeds = (
+        f"SELECT url_canon FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL "
+        f"AND regexp_matches(host, '{R.HOST_SCOPE_RE}') ORDER BY k LIMIT 200"
+    )
+    hu = sql_hash60("url_canon")
+    hc = sql_hash60("url_canon || '#' || i")
+    sections = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(SECTIONS))
+    child = (
+        f"'https://' || (CASE WHEN ({hc}) % {EXTERNAL_MOD} = 0 "
+        f"THEN 'ext' || (({hc}) % 97) || '.invalid' "
+        f"ELSE regexp_extract(url_canon, 'https?://([^/]+)', 1) END) "
+        f"|| '/' || (CASE ({hc}) % 5 {sections} END) || '/' || (({hc}) % 1000000000) "
+        f"|| (CASE WHEN ({hc}) % {QUERY_MOD} = {QUERY_REM} THEN '?ref=' || i || '#frag' ELSE '' END)"
+    )
+    raw = (
+        f"WITH seeds AS ({seeds}), fan AS (SELECT url_canon, "
+        f"greatest(0, ({hu}) % {FANOUT_MOD} - 0) AS fanout FROM seeds), "
+        f"kids AS (SELECT url_canon, unnest(generate_series(0, fanout::INT - 1)) AS i "
+        f"FROM fan WHERE fanout > 0), "
+        f"raw AS (SELECT {child} AS raw FROM kids)"
+    )
+    canon = sql_canonicalize("raw")
+    return (
+        f"{raw}, c AS (SELECT {canon} AS child_canon FROM raw) "
+        f"SELECT {sql_hash60('child_canon')} AS child_hash, "
+        f"min(child_canon) AS child_canon, count(*) AS n_parents "
+        f"FROM c WHERE child_canon IS NOT NULL GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# classical-relational family
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: returnflag/linestatus rollup over lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_topk_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + global top-10 (TakeOrdered)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join, revenue per nation (broadcast dims)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_window_topn(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (window ranking)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+SQL_WINDOW_TOPN = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation (streaming shape
+    F13/F15 run as a batch query — same plan under readStream)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx differs across engines; keep exact cols
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON prop extraction (reference meta_data JSON columns →
+    get_json_object), bucketed aggregation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_id", k.alias("k"))
+        .groupBy(F.pmod(F.col("k"), 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT (json_extract(props, '$.k')::INT) % 10 AS k_bucket,
+       count(*) AS n, sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows per user: 30-min inactivity gap via lag()."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# storage family
+# ---------------------------------------------------------------------------
+
+
+def s1_dedup_upsert(spark, sf_dir):
+    """S1: MERGE-by-content-hash semantics (storage.py:103-211) as a
+    window: latest version per hash wins; version = doc_id here."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", TX.similarity_hash(F.col("text")).alias("content_hash"), "n_chars"
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").desc())
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", F.col("doc_id").alias("kept_doc_id"), "n_chars")
+    )
+
+
+SQL_S1 = f"""
+SELECT content_hash, doc_id AS kept_doc_id, n_chars FROM (
+  SELECT doc_id, {TX.sql_similarity_hash('text')} AS content_hash, n_chars,
+         row_number() OVER (PARTITION BY {TX.sql_similarity_hash('text')}
+                            ORDER BY doc_id DESC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def s3_link_diff(spark, sf_dir):
+    """S3: M:N link-table diff-update — stale deletes via EXCEPT,
+    new inserts via anti-join (storage.py:213-271)."""
+    o = _t(spark, sf_dir, "orders")
+    cur = o.filter(F.pmod(F.col("o_orderkey"), 2) == 0).select(
+        F.col("o_custkey").alias("a"), F.col("o_orderkey").alias("b")
+    )
+    new = o.filter(F.pmod(F.col("o_orderkey"), 3) == 0).select(
+        F.col("o_custkey").alias("a"), F.col("o_orderkey").alias("b")
+    )
+    stale = cur.exceptAll(new).withColumn("op", F.lit("delete"))
+    insert = new.exceptAll(cur).withColumn("op", F.lit("insert"))
+    return stale.unionByName(insert)
+
+
+SQL_S3 = """
+WITH cur AS (SELECT o_custkey AS a, o_orderkey AS b FROM orders WHERE o_orderkey % 2 = 0),
+     new AS (SELECT o_custkey AS a, o_orderkey AS b FROM orders WHERE o_orderkey % 3 = 0)
+SELECT a, b, 'delete' AS op FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM new)
+UNION ALL
+SELECT a, b, 'insert' AS op FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM cur)
+"""
+
+
+def s6_group_stats(spark, sf_dir):
+    """S6: one-pass per-type stats (vs the reference's 4 filtered
+    counts, storage.py:366-374)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+SQL_S6 = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+    "min(doc_id) AS min_doc_id FROM documents GROUP BY lang"
+)
+
+
+def s5_paged_scan(spark, sf_dir):
+    """A9/S5: filtered scan with stable paging (window row_number —
+    offset/limit without nondeterminism; operations.py:89-118)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_partkey").asc())
+    return (
+        p.filter(F.col("p_size") >= 25)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 50) & (F.col("rn") <= 150))
+        .select("p_partkey", "p_name", "p_size", "rn")
+    )
+
+
+SQL_S5 = """
+SELECT p_partkey, p_name, p_size, rn FROM (
+  SELECT p_partkey, p_name, p_size,
+         row_number() OVER (ORDER BY p_partkey ASC) AS rn
+  FROM part WHERE p_size >= 25
+) WHERE rn > 50 AND rn <= 150
+"""
+
+
+# ---------------------------------------------------------------------------
+# text family
+# ---------------------------------------------------------------------------
+
+
+def t_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.size(TX.content_tokens(F.col("text"))).alias("n_content_tokens"),
+        TX.avg_token_len(F.col("text")).alias("avg_token_len"),
+    )
+
+
+SQL_T_TOKENS = (
+    f"SELECT doc_id, {TX.sql_token_count('text')}::INT AS n_tokens, "
+    f"len({TX.sql_content_tokens('text')})::INT AS n_content_tokens, "
+    f"{TX.sql_avg_token_len('text')} AS avg_token_len FROM documents"
+)
+
+
+def t_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+SQL_T_QUALITY = (
+    f"SELECT doc_id, {TX.sql_punct_ratio('text')} AS punct_ratio, "
+    f"{TX.sql_stopword_ratio('text')} AS stopword_ratio, "
+    f"{TX.sql_quality_score('text')} AS quality FROM documents"
+)
+
+
+def t_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+SQL_T_LANGID = (
+    f"SELECT doc_id, lang, {TX.sql_lang_id('text')} AS pred_lang FROM documents"
+)
+
+
+def t_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_T_FINGERPRINT = (
+    f"SELECT doc_id, {TX.sql_fingerprint('text')} AS fingerprint FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup + similarity families
+# ---------------------------------------------------------------------------
+
+
+def dd_exact(spark, sf_dir):
+    return DD.exact_groups(_t(spark, sf_dir, "documents"))
+
+
+def dd_minhash_buckets(spark, sf_dir):
+    return DD.lsh_buckets(_t(spark, sf_dir, "documents"))
+
+
+def dd_minhash_pairs(spark, sf_dir):
+    return DD.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def dd_simhash(spark, sf_dir):
+    return DD.simhash(_t(spark, sf_dir, "documents"))
+
+
+def dd_jaccard(spark, sf_dir):
+    return DD.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh_census(spark, sf_dir):
+    return SIM.lsh_bucket_census(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# full-epoch queries (no SQL oracle — rows-only driver check; the pytest
+# parity simulator is the exact oracle for these)
+# ---------------------------------------------------------------------------
+
+
+def fe_epoch(spark, sf_dir):
+    """One full scheduling epoch on the synthetic world: 300 seeds →
+    canonicalize → admit → rank → fetch → fetched rows."""
+    from . import fixtures as fx
+    from .epoch import EpochConfig, run_crawl
+    from .state.snapshots import SnapshotStore
+
+    cfg = EpochConfig(epoch_budget=2000, use_bloom=False)
+    seeds = fx.seeds_df(spark, 300)
+    robots = fx.robots_rules_df(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(spark, tmp)
+        run_crawl(spark, store, seeds, cfg, num_epochs=2, robots_rules=robots)
+        out = store.read_upto("visited").select(
+            "url_hash", "url_canon", "host", "depth", "priority"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+def mm_decode_stats(spark, sf_dir):
+    """Multimodal plumbing: synthesize image bytes for 100 doc ids,
+    decode via mapInPandas, return (id, w, h, fmt, phash, mean_pixel).
+    Deterministic but not SQL-expressible (binary codec) → rows-only."""
+    import pandas as pd
+
+    from . import fixtures as fx
+    from .functions import image as img
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                uh = fx.py_hash60(f"doc:{doc_id}")
+                p = fx.py_fetch_payload(uh)
+                px = (
+                    img.decode_png(p["bytes"])
+                    if p["fmt"] == "png"
+                    else img.decode_qz5(p["bytes"])
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "w": p["w"],
+                        "h": p["h"],
+                        "fmt": p["fmt"],
+                        "phash": p["phash"],
+                        "mean_pixel": round(float(px.mean()), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen, schema="doc_id long, w int, h int, fmt string, phash long, mean_pixel double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # frontier
+    "f1_canonicalize": (f1_canonicalize, SQL_F1),
+    "f2_admission": (f2_admission, SQL_F2),
+    "f3_schedule": (f3_schedule, SQL_F3),
+    "f4_priority": (f4_priority, SQL_F4),
+    "f7_retry": (f7_retry, SQL_F7),
+    "f11_link_emit": (f11_link_emit, _sql_f11()),
+    "f15_metrics": (f15_metrics, SQL_F15),
+    # classical relational
+    "q1_pricing": (q1_pricing, SQL_Q1),
+    "q3_topk_revenue": (q3_topk_revenue, SQL_Q3),
+    "q5_nation_revenue": (q5_nation_revenue, SQL_Q5),
+    "q_window_topn": (q_window_topn, SQL_WINDOW_TOPN),
+    "q_events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "q_events_json": (q_events_json, SQL_EVENTS_JSON),
+    "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    # storage
+    "s1_dedup_upsert": (s1_dedup_upsert, SQL_S1),
+    "s3_link_diff": (s3_link_diff, SQL_S3),
+    "s5_paged_scan": (s5_paged_scan, SQL_S5),
+    "s6_group_stats": (s6_group_stats, SQL_S6),
+    # text
+    "t_tokens": (t_tokens, SQL_T_TOKENS),
+    "t_quality": (t_quality, SQL_T_QUALITY),
+    "t_langid": (t_langid, SQL_T_LANGID),
+    "t_fingerprint": (t_fingerprint, SQL_T_FINGERPRINT),
+    # dedup
+    "dd_exact": (dd_exact, DD.sql_exact_groups()),
+    "dd_minhash_buckets": (dd_minhash_buckets, DD.sql_lsh_buckets()),
+    "dd_minhash_pairs": (dd_minhash_pairs, DD.sql_lsh_candidate_pairs()),
+    "dd_simhash": (dd_simhash, DD.sql_simhash()),
+    "dd_jaccard": (dd_jaccard, DD.sql_jaccard_pairs()),
+    # similarity
+    "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
+    "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
+    # full-epoch / multimodal (rows-only)
+    "fe_epoch": (fe_epoch, None),
+    "mm_decode_stats": (mm_decode_stats, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
