@@ -1,0 +1,161 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Default: run the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+  * the frontier crawl job (the north metric: fetched image rows/sec
+    through canonicalize → anti-join seen → rank/slots → fetch UDF →
+    snapshot append), on the deterministic synthetic world;
+  * a curated set of registry queries, each fully materialized via
+    the noop writer (no collect — executor-side materialization).
+
+Output: {"metric": "headline_suite_sec", "value": <total sec>,
+         "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+         "frontier_rows_per_sec": R, "cpus": N}
+
+`--frontier-only` prints the same line with only the frontier job
+(used by --scaling). `--scaling` runs the frontier job at local[8]
+and local[32] in subprocesses and reports throughput at both plus
+efficiency = (rps_32 / rps_8) / 4 — the sandbox evidence for the
+north rule's two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "f1_canonicalize",
+    "f2_admission",
+    "f3_schedule",
+    "f4_priority",
+    "f11_link_emit",
+    "f15_metrics",
+    "q1_pricing",
+    "q3_topk_revenue",
+    "q5_nation_revenue",
+    "q_window_topn",
+    "q_events_tumbling",
+    "q_sessionize",
+    "s1_dedup_upsert",
+    "t_quality",
+    "t_fingerprint",
+    "dd_exact",
+    "dd_minhash_buckets",
+    "dd_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_census",
+]
+
+# frontier bench world: many hosts so politeness slots don't throttle
+# the measurement (the per-host cap is semantics, not engine ceiling)
+FRONTIER_SEEDS = 60_000
+FRONTIER_HOSTS = 3_000
+FRONTIER_EPOCHS = 2
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_frontier(spark) -> tuple[float, int]:
+    """Run the crawl job; return (wall_sec, fetched_ok_rows)."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, run_crawl
+    from crawler_spark.state.snapshots import SnapshotStore
+
+    cfg = EpochConfig(epoch_budget=None, num_buckets=64, use_bloom=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(spark, tmp)
+        seeds = fx.seeds_df(spark, FRONTIER_SEEDS, num_hosts=FRONTIER_HOSTS)
+        robots = fx.robots_rules_df(spark, num_hosts=FRONTIER_HOSTS)
+        t0 = time.time()
+        stats = run_crawl(
+            spark, store, seeds, cfg, num_epochs=FRONTIER_EPOCHS, robots_rules=robots
+        )
+        wall = time.time() - t0
+    fetched = sum(s["fetched_ok"] for s in stats)
+    return wall, fetched
+
+
+def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
+    from crawler_spark import queries as Q
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(cpus, app_name="bench", shuffle_partitions=cpus)
+    # one warm-up action so JVM/codegen startup isn't billed to query 1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    out: dict = {"queries": {}, "cpus": cpus}
+    fw, fr = bench_frontier(spark)
+    out["queries"]["frontier_crawl"] = round(fw, 3)
+    out["frontier_rows_per_sec"] = round(fr / fw, 1)
+    out["frontier_fetched_rows"] = fr
+
+    if not frontier_only:
+        for name in BENCH_QUERIES:
+            fn = Q.REGISTRY[name][0]
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            out["queries"][name] = round(time.time() - t0, 3)
+
+    out["value"] = round(sum(out["queries"].values()), 3)
+    return out
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[8] vs local[32] on the identical frontier job (subprocesses
+    so each gets a fresh JVM sized to its core count)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, __file__, "--frontier-only"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8 = results[8]["frontier_rows_per_sec"]
+    r32 = results[32]["frontier_rows_per_sec"]
+    speedup = r32 / r8
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "rows_per_sec_local8": r8,
+        "rows_per_sec_local32": r32,
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / 4.0, 3),
+        "fetched_rows": results[32]["frontier_fetched_rows"],
+    }))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+        return
+    frontier_only = "--frontier-only" in sys.argv
+    out = run_suite(cpus, sf_dir, frontier_only)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    line = {
+        "metric": "headline_suite_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier_rows_per_sec": out["frontier_rows_per_sec"],
+        "frontier_fetched_rows": out["frontier_fetched_rows"],
+        "cpus": out["cpus"],
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

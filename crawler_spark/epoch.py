@@ -158,33 +158,36 @@ def run_epoch(
         epoch_budget=cfg.epoch_budget,
     )
 
-    results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_selected = results.count()  # materialize once
+    # --- the ONLY execution of the fetch: write the payload table once.
+    # Every derivation below re-reads the parquet with column pruning —
+    # no 700 MB cache of image bytes, no recomputation of the fetch UDF
+    # (at 100 TB the payload never fits in cache; write-once-then-derive
+    # is the only plan shape that survives the scale-up).
+    results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
+    store.write_table(epoch, "fetched", results)
+    fetched = store.read_table(epoch, "fetched")
 
-    ok = results.filter(F.col("status") == 200)
-    fail = results.filter(F.col("status") != 200)
+    ok = fetched.filter(F.col("status") == 200)
+    fail = fetched.filter(F.col("status") != 200)
 
     visited_delta = ok.select("url_hash", "url_canon", "host", "status", "depth", "priority")
-    images_delta = ok.select(
-        "image_id", "url_canon", "url_hash", "host", "bytes", "w", "h", "fmt",
-        "caption", "phash",
-    )
     failed_cols = ["url_hash", "url_canon", "host", "depth", "parent_url", "attempts", "last_status"]
     failed_state = failed_prev.select(*failed_cols).join(
-        results.select("url_hash"), "url_hash", "left_anti"
+        fetched.select("url_hash"), "url_hash", "left_anti"
     ).unionByName(
         fail.select(
             "url_hash", "url_canon", "host", "depth", "parent_url",
             F.col("attempt").alias("attempts"), F.col("status").alias("last_status"),
         )
     )
-    frontier_delta = emit_links(ok)
+    store.write_table(epoch, "visited", visited_delta)
+    store.write_table(epoch, "failed", failed_state)
+    store.write_table(epoch, "frontier", emit_links(ok))
+    frontier_delta = store.read_table(epoch, "frontier")
 
     bucket = host_bucket(F.col("host"), cfg.num_buckets)
     metrics = (
-        results.groupBy(bucket.alias("host_bucket"))
+        fetched.groupBy(bucket.alias("host_bucket"))
         .agg(
             F.count(F.lit(1)).alias("selected"),
             F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
@@ -209,30 +212,21 @@ def run_epoch(
             F.coalesce("new_frontier", F.lit(0)).alias("new_frontier"),
         )
     )
-
-    store.write_epoch(
-        epoch,
-        {
-            "visited": visited_delta,
-            "images": images_delta,
-            "failed": failed_state,
-            "frontier": frontier_delta,
-            "metrics": metrics,
-        },
-        stats=None,  # filled below (needs the observation, post-action)
-    )
+    store.write_table(epoch, "metrics", metrics)
+    # one tiny collect (num_buckets rows) supplies the epoch stats —
+    # no extra count() actions over the payload
+    mrows = store.read_table(epoch, "metrics").collect()
     stats = {
         "epoch": epoch,
-        "selected": n_selected,
-        "fetched_ok": ok.count(),
-        "fetched_fail": fail.count(),
+        "selected": int(sum(r.selected for r in mrows)),
+        "fetched_ok": int(sum(r.fetched_ok for r in mrows)),
+        "fetched_fail": int(sum(r.fetched_fail for r in mrows)),
         "candidates": obs.get.get("candidates", None) if obs.get else None,
         "wall_ms": int((time.time() - t0) * 1000),
     }
-    manifest = store._read_manifest()
-    manifest["epochs"][str(epoch)]["stats"] = stats
-    store._write_manifest(manifest)
-    results.unpersist()
+    store.commit_epoch(
+        epoch, ["fetched", "visited", "failed", "frontier", "metrics"], stats
+    )
     return stats
 
 

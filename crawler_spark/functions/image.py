@@ -39,7 +39,10 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """RGB uint8 array (h, w, 3) → PNG bytes (filter 0 rows, zlib level 1)."""
+    """RGB uint8 array (h, w, 3) → PNG bytes (filter 0 rows, zlib
+    level 0 — stored blocks: the synthetic pixels are random, so
+    deflate can't shrink them and higher levels only burn CPU in the
+    fetch UDF; level 0 is still spec-valid zlib)."""
     h, w, _ = pixels.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
     raw = np.concatenate(
@@ -48,7 +51,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 1))
+        + _chunk(b"IDAT", zlib.compress(raw, 0))
         + _chunk(b"IEND", b"")
     )
 
@@ -141,17 +144,24 @@ def phash64(pixels: np.ndarray) -> int:
     """
     g = pixels.astype(np.float64).mean(axis=2)
     h, w = g.shape
-    # mean-pool onto an 8x8 grid (pad-free: integer bucket boundaries)
+    # mean-pool onto an 8x8 grid (pad-free: integer bucket boundaries);
+    # vectorized with two reduceat passes — the 64-slice Python loop
+    # version cost 680 us/image and dominated the fetch UDF
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    grid = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            grid[i, j] = g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (grid > grid.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    if h >= 8 and w >= 8:
+        rs = np.add.reduceat(g, ys[:8], axis=0)
+        cs = np.add.reduceat(rs, xs[:8], axis=1)
+        grid = cs / np.outer(np.diff(ys), np.diff(xs))
+    else:  # degenerate tiny images: blocks may be empty at 8x8
+        grid = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                grid[i, j] = g[
+                    ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+                ].mean()
+    bits = (grid > grid.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -84,12 +84,34 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("new_frontier", T.LongType()),
 ])
 
-TABLES = ("frontier", "visited", "failed", "images", "metrics")
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("ua_index", T.IntegerType()),
+    ]
+)
+
+TABLES = ("frontier", "visited", "failed", "fetched", "metrics")
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "visited": VISITED_SCHEMA,
     "failed": FAILED_SCHEMA,
     "images": IMAGES_SCHEMA,
+    "fetched": FETCHED_SCHEMA,
     "metrics": METRICS_SCHEMA,
 }
 # tables whose epoch=N dir is the COMPLETE state (not a delta)
@@ -124,23 +146,40 @@ class SnapshotStore:
 
     # -- write ---------------------------------------------------------------
 
-    def write_epoch(self, epoch: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
-        """Write all deltas for an epoch, then atomically commit the
-        manifest. An interrupted epoch (data written, manifest not) is
-        invisible to resume and is overwritten on retry."""
-        lineage: dict[str, dict] = {}
-        for name, df in tables.items():
-            path = self.root / name / f"epoch={epoch}"
-            df.write.mode("overwrite").parquet(str(path))
-            lineage[name] = {"path": str(path)}
+    def write_table(self, epoch: int, name: str, df: DataFrame) -> None:
+        """Write one table's epoch partition WITHOUT committing the
+        manifest — the write-once seam: heavy outputs (the fetched
+        payload table) are executed exactly once here, and every
+        downstream derivation re-reads the parquet with column pruning
+        instead of re-running (or caching) the producing job."""
+        path = self.root / name / f"epoch={epoch}"
+        df.write.mode("overwrite").parquet(str(path))
+
+    def read_table(self, epoch: int, name: str) -> DataFrame:
+        """Read back one (possibly not-yet-committed) epoch partition."""
+        path = self.root / name / f"epoch={epoch}"
+        return self.spark.read.option(
+            "basePath", str(self._table_root(name))
+        ).parquet(str(path))
+
+    def commit_epoch(self, epoch: int, names: list[str], stats: dict | None = None) -> None:
+        """Atomically commit previously written tables for `epoch`."""
         manifest = self._read_manifest()
         manifest["epochs"][str(epoch)] = {
-            "tables": lineage,
+            "tables": {n: {"path": str(self.root / n / f"epoch={epoch}")} for n in names},
             "stats": stats or {},
             "committed_at_ms": int(time.time() * 1000),
         }
         manifest["latest_epoch"] = max(manifest["latest_epoch"], epoch)
         self._write_manifest(manifest)
+
+    def write_epoch(self, epoch: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
+        """Write all deltas for an epoch, then atomically commit the
+        manifest. An interrupted epoch (data written, manifest not) is
+        invisible to resume and is overwritten on retry."""
+        for name, df in tables.items():
+            self.write_table(epoch, name, df)
+        self.commit_epoch(epoch, list(tables), stats)
 
     # -- read ----------------------------------------------------------------
 
@@ -154,6 +193,16 @@ class SnapshotStore:
         if epoch is None:
             epoch = self.latest_epoch()
         manifest = self._read_manifest()
+        if table == "images" and not any(
+            "images" in m["tables"] for m in manifest["epochs"].values()
+        ):
+            # virtual: images = successful rows of the fetched table —
+            # the payload parquet is written once; this projection is a
+            # pruned scan, never a second copy of the bytes
+            fetched = self.read_upto("fetched", epoch)
+            return fetched.filter(F.col("status") == 200).select(
+                *[f.name for f in IMAGES_SCHEMA.fields]
+            )
         committed = sorted(
             e
             for e in (int(k) for k in manifest["epochs"])
