@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from . import fixtures as fx
-from .functions.url import canonicalize, hash60, host_bucket, url_host
+from .functions.url import canonicalize, engine_hash, host_bucket, url_host
 from .operators import admission, fetch as fetch_op, schedule
 from .operators.jobtype import job_type
 from .operators.priority import priority_score
@@ -61,7 +61,7 @@ def seeds_to_frontier(seeds: DataFrame, url_col: str = "url") -> DataFrame:
         .filter(F.col("url_canon").isNotNull())
         .select(
             "url_canon",
-            hash60(F.col("url_canon")).alias("url_hash"),
+            engine_hash(F.col("url_canon")).alias("url_hash"),
             url_host(F.col("url_canon")).alias("host"),
             F.lit(0).alias("depth"),
             F.lit(None).cast("string").alias("parent_url"),
@@ -98,7 +98,7 @@ def emit_links(fetched_ok: DataFrame) -> DataFrame:
     ).filter(F.col("url_canon").isNotNull())
     out = out.select(
         "url_canon",
-        hash60(F.col("url_canon")).alias("url_hash"),
+        engine_hash(F.col("url_canon")).alias("url_hash"),
         url_host(F.col("url_canon")).alias("host"),
         F.col("depth").cast("int").alias("depth"),
         "parent_url",
@@ -180,9 +180,19 @@ def run_epoch(
             F.col("attempt").alias("attempts"), F.col("status").alias("last_status"),
         )
     )
-    store.write_table(epoch, "visited", visited_delta)
-    store.write_table(epoch, "failed", failed_state)
-    store.write_table(epoch, "frontier", emit_links(ok))
+    # the three light derivations are independent — submit them from
+    # threads so their (serial, driver-bound) planning+commit overlaps;
+    # Spark's scheduler interleaves the jobs freely
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(store.write_table, epoch, "visited", visited_delta, True),
+            pool.submit(store.write_table, epoch, "failed", failed_state, True),
+            pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
+        ]
+        for f in futs:
+            f.result()
     frontier_delta = store.read_table(epoch, "frontier")
 
     bucket = host_bucket(F.col("host"), cfg.num_buckets)
@@ -212,7 +222,7 @@ def run_epoch(
             F.coalesce("new_frontier", F.lit(0)).alias("new_frontier"),
         )
     )
-    store.write_table(epoch, "metrics", metrics)
+    store.write_table(epoch, "metrics", metrics, rebalance=True)
     # one tiny collect (num_buckets rows) supplies the epoch stats —
     # no extra count() actions over the payload
     mrows = store.read_table(epoch, "metrics").collect()
@@ -281,7 +291,7 @@ class PhaseMachine:
     def sleep_minutes(self, epoch: int) -> float:
         """base × seeded jitter in [0.8, 1.2] (deterministic per epoch)."""
         base = PHASE_SLEEP_MIN[self.phase]
-        jitter = 0.8 + (fx.py_hash60(f"jitter:{epoch}") % 4001) / 10000.0
+        jitter = 0.8 + (fx.py_xxhash64(f"jitter:{epoch}") % 4001) / 10000.0
         return base * jitter
 
 

@@ -13,8 +13,8 @@ World rules
 * Hosts: ``host{h}.example`` for h in [0, H). Seed skew: 30 % of seeds
   land on host0 (the hot host that exercises salting/AQE skew).
 * Seed k: ``https://host{h}.example/{SECTION[k%5]}/{k}``.
-* children(url, depth): fanout = max(0, hash60(url) % 9 - depth); child
-  i has hc = hash60(url + '#' + i):
+* children(url, depth): fanout = max(0, engine_hash(url) % 9 - depth); child
+  i has hc = engine_hash(url + '#' + i):
     - external (dropped by F2 host-scope) if hc % 13 == 0,
       host = ``ext{hc%97}.invalid``
     - section = SECTION[hc % 5]; id = hc % 10^9
@@ -24,7 +24,7 @@ World rules
   host h % 7 == 2 disallows the '/category/' prefix
   (reference utils/http.py:40-113, max(delay, robots) rule 200-226).
 * fetch(url, attempt): fails with HTTP 503 for its first
-  (hash60(url) % 3 + 1) attempts iff hash60(url) % 41 == 0 — so ~2.4 %
+  (engine_hash(url) % 3 + 1) attempts iff engine_hash(url) % 41 == 0 — so ~2.4 %
   of URLs exercise the retry path (F7, max 3 attempts) and a third of
   those exhaust it.
 * payload: pixels = PCG64(url_hash) uint8 RGB, w/h in [16, 64],
@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import image as img
-from .functions.url import hash60, py_hash60
+from .functions.url import engine_hash, py_xxhash64
 
 SECTIONS = ["articles", "post", "about", "category", "view"]
 EXTERNAL_MOD = 13
@@ -56,7 +56,7 @@ MIN_SIDE = 16
 
 
 def py_seed_url(k: int, num_hosts: int) -> str:
-    h = 0 if k % 10 < 3 else (py_hash60(f"seedhost:{k}") % (num_hosts - 1)) + 1
+    h = 0 if k % 10 < 3 else (py_xxhash64(f"seedhost:{k}") % (num_hosts - 1)) + 1
     return f"https://host{h}.example/{SECTIONS[k % 5]}/{k}"
 
 
@@ -64,7 +64,7 @@ def seeds_df(spark: SparkSession, n: int, num_hosts: int = 50) -> DataFrame:
     """n seed URLs, Zipf-ish host skew, generated distributed (range)."""
     k = F.col("id")
     hot = F.pmod(k, 10) < 3
-    hh = (F.pmod(hash60(F.concat(F.lit("seedhost:"), k.cast("string"))), num_hosts - 1) + 1)
+    hh = (F.pmod(engine_hash(F.concat(F.lit("seedhost:"), k.cast("string"))), num_hosts - 1) + 1)
     host_idx = F.when(hot, F.lit(0)).otherwise(hh)
     section = F.element_at(F.array(*[F.lit(s) for s in SECTIONS]), (F.pmod(k, 5) + 1).cast("int"))
     url = F.concat(
@@ -84,16 +84,24 @@ def out_links(url_canon: Column, depth: Column) -> Column:
 
     Mirrors py_out_links exactly; stays inside codegen (concat/md5/conv).
     """
-    hu = hash60(url_canon)
+    hu = engine_hash(url_canon)
     fanout = F.greatest(F.lit(0), F.pmod(hu, FANOUT_MOD) - depth).cast("int")
     parent_host = F.regexp_extract(url_canon, r"^https?://([^/]+)", 1)
 
-    def child(i: Column) -> Column:
-        hc = hash60(F.concat(url_canon, F.lit("#"), i.cast("string")))
+    def child_key(i: Column) -> Column:
+        # hash each child ONCE; the URL pieces below all derive from it
+        # (5 inline engine_hash calls per child was measurably slower)
+        return F.struct(
+            i.alias("i"),
+            engine_hash(F.concat(url_canon, F.lit("#"), i.cast("string"))).alias("hc"),
+        )
+
+    def child(s: Column) -> Column:
+        i, hc = s["i"], s["hc"]
         ext_host = F.concat(F.lit("ext"), F.pmod(hc, 97).cast("string"), F.lit(".invalid"))
         host = F.when(F.pmod(hc, EXTERNAL_MOD) == 0, ext_host).otherwise(parent_host)
         section = F.element_at(
-            F.array(*[F.lit(s) for s in SECTIONS]), (F.pmod(hc, 5) + 1).cast("int")
+            F.array(*[F.lit(s_) for s_ in SECTIONS]), (F.pmod(hc, 5) + 1).cast("int")
         )
         ident = F.pmod(hc, 1_000_000_000).cast("string")
         q = F.when(
@@ -105,18 +113,19 @@ def out_links(url_canon: Column, depth: Column) -> Column:
     # NB: sequence(0, -1) is DESCENDING [0,-1] in Spark, not empty —
     # guard fanout=0 explicitly.
     return F.when(
-        fanout > 0, F.transform(F.sequence(F.lit(0), fanout - 1), child)
+        fanout > 0,
+        F.transform(F.transform(F.sequence(F.lit(0), fanout - 1), child_key), child),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def py_out_links(url_canon: str, depth: int) -> list[str]:
-    hu = py_hash60(url_canon)
+    hu = py_xxhash64(url_canon)
     fanout = max(0, hu % FANOUT_MOD - depth)
     m = __import__("re").match(r"^https?://([^/]+)", url_canon)
     parent_host = m.group(1) if m else ""
     out = []
     for i in range(fanout):
-        hc = py_hash60(f"{url_canon}#{i}")
+        hc = py_xxhash64(f"{url_canon}#{i}")
         if hc % EXTERNAL_MOD == 0:
             host = f"ext{hc % 97}.invalid"
         else:
@@ -170,7 +179,7 @@ def robots_rules_df(spark: SparkSession, num_hosts: int = 50) -> DataFrame:
 
 
 def py_fail_rounds(url_canon: str) -> int:
-    hu = py_hash60(url_canon)
+    hu = py_xxhash64(url_canon)
     return (hu % 3) + 1 if hu % FAIL_MOD == 0 else 0
 
 

@@ -13,15 +13,22 @@ Everything on absolute URLs is a pure column expression (regexp_extract
 canonical hot path. Relative-href resolution (needed only at link
 emit) is a vectorized Arrow UDF.
 
-The 64-bit hash is **portable**: the top 60 bits of md5, identical in
-Spark (`conv(substr(md5(x),1,15),16,10)`), DuckDB
-(`('0x'||substr(md5(x),1,15))::BIGINT`), and Python
-(`int(md5(b).hexdigest()[:15],16)`). That one definition backs the
-seen-set keys, the deterministic scheduler tie-break (the reference's
-PriorityQueue tie-break is heap-internal/thread-racy — crawler.py:54-65
-— so BASELINE allows a documented rule; ours is (priority, depth,
-url_hash)), and every oracle comparison. A faster non-portable variant
-(`xxhash64`) is exposed for internal-only columns.
+Two hash tiers:
+
+* ``engine_hash`` / ``py_xxhash64`` — xxhash64 (seed 42), THE key for
+  everything on the crawl hot path: seen-set keys, the deterministic
+  scheduler tie-break (priority, depth, url_hash), the synthetic
+  world, partitioning. Lock-free JVM intrinsic; the md5 alternative
+  anti-scales with executor threads (MessageDigest Provider lock).
+* ``hash60`` / ``py_hash60`` / ``sql_hash60`` — portable 60-bit md5
+  prefix, identical in Spark, DuckDB and Python. Used ONLY where a
+  DuckDB oracle must reproduce the value (the relational query suite,
+  sf ≤ 0.1) — never on the 10^10-row path.
+
+The reference's PriorityQueue tie-break is heap-internal/thread-racy
+(crawler.py:54-65); BASELINE allows a documented rule — ours is
+(priority, depth, url_hash) over the engine hash, used identically by
+the parity simulator.
 """
 
 from __future__ import annotations
@@ -89,10 +96,88 @@ def fast_hash64(col: Column | str) -> Column:
     return F.xxhash64(col)
 
 
+def engine_hash(col: Column | str) -> Column:
+    """THE engine-internal URL key: Spark's native xxhash64 (seed 42).
+
+    Why not the portable md5 hash60 on the hot path: Java's
+    MessageDigest.getInstance takes a synchronized Provider lookup per
+    call, so md5-heavy stages ANTI-scale with executor threads
+    (measured on this host: 2.9M hashes/s at 8 threads → 1.9M/s at
+    32). xxhash64 is a lock-free intrinsic (~10× faster) and scales.
+    The md5 variant remains the key for the DuckDB-oracle-checked
+    relational queries, where cross-engine portability is the point —
+    scale never is (sf ≤ 0.1 there). ``py_xxhash64`` below is the
+    bit-exact Python mirror for the parity simulator and the fetch UDF.
+    """
+    return F.xxhash64(col)
+
+
+# -- pure-Python XXH64 (public algorithm, Collet; seed 42 to match
+# Spark's xxhash64 expression on UTF8 string bytes) ------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            for _ in range(1):
+                v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+                v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M64, 31) * _P1) & _M64
+                v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M64, 31) * _P1) & _M64
+                v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def py_xxhash64(s: str, seed: int = 42) -> int:
+    """Signed-int64 XXH64 of the UTF8 bytes — equals F.xxhash64(col)."""
+    u = _xxh64_bytes(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def host_bucket(host: Column | str, num_buckets: int) -> Column:
-    """Partitioning key: pmod(hash60(host), P). Keeps one host's URLs in
-    one bucket so per-host politeness is partition-local (SURVEY §1.1)."""
-    return F.pmod(hash60(host), F.lit(num_buckets)).cast("int")
+    """Partitioning key: pmod(xxhash64(host), P). Keeps one host's URLs
+    in one bucket so per-host politeness is partition-local (SURVEY
+    §1.1). Engine-internal → xxhash64 (see engine_hash)."""
+    return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
 
 
 # ---------------------------------------------------------------------------

@@ -612,6 +612,208 @@ SQL_T_FINGERPRINT = (
 
 
 # ---------------------------------------------------------------------------
+# discovery family
+# ---------------------------------------------------------------------------
+
+
+def d1_url_features(spark, sf_dir):
+    """D1: per-segment feature encoding (digit/slug/hash classes)."""
+    from .operators import discovery as DIS
+
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    feats = DIS.url_features(cand.select("k", "url_canon"))
+    return cand.select("k", "url_canon").join(feats, "url_canon").select(
+        "k",
+        "url_canon",
+        F.concat_ws(",", F.transform(F.col("features"), lambda x: x.cast("string"))).alias(
+            "features_str"
+        ),
+    )
+
+
+def _sql_d1() -> str:
+    from .operators.discovery import sql_path_segments, sql_segment_feature
+
+    segs = sql_path_segments("url_canon")
+    feats = f"list_transform({segs}, s -> {sql_segment_feature('s')})"
+    return (
+        f"SELECT k, url_canon, array_to_string(list_transform({feats}, x -> x::VARCHAR), ',') "
+        f"AS features_str FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL"
+    )
+
+
+def d2_url_templates(spark, sf_dir):
+    """D2-D4: pattern mining as groupBy(template) — the scalable
+    re-expression of the reference's DBSCAN clustering."""
+    from .operators import discovery as DIS
+
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    return DIS.mine_patterns(cand)
+
+
+def _sql_d2() -> str:
+    from .operators.discovery import sql_url_template
+
+    jt = sql_job_type("url_canon")
+    return (
+        f"SELECT {sql_url_template('url_canon')} AS pattern, count(*) AS url_count, "
+        f"min(url_canon) AS sample_url, "
+        f"max(CASE WHEN {jt} = 'list' THEN 1 ELSE 0 END) AS is_list, "
+        f"max(CASE WHEN {jt} = 'detail' THEN 1 ELSE 0 END) AS is_detail "
+        f"FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL GROUP BY 1"
+    )
+
+
+def d8_url_similarity(spark, sf_dir):
+    """D8: segment-overlap similarity between consecutive-k URL pairs."""
+    from .operators.discovery import url_similarity
+
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    a = cand.select(F.col("k").alias("ka"), F.col("url_canon").alias("url_a"))
+    b = cand.select((F.col("k") - 1).alias("ka"), F.col("url_canon").alias("url_b"))
+    return (
+        a.join(b, "ka")
+        .select(
+            F.col("ka").alias("k"),
+            "url_a",
+            "url_b",
+            url_similarity(F.col("url_a"), F.col("url_b")).alias("similarity"),
+        )
+    )
+
+
+def _sql_d8() -> str:
+    from .operators.discovery import sql_url_similarity
+
+    return (
+        f"WITH c AS (SELECT k, url_canon FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL) "
+        f"SELECT a.k AS k, a.url_canon AS url_a, b.url_canon AS url_b, "
+        f"{sql_url_similarity('a.url_canon', 'b.url_canon')} AS similarity "
+        f"FROM c a JOIN c b ON b.k = a.k + 1"
+    )
+
+
+def d10_top_sections(spark, sf_dir):
+    """D10: top-5 first path segments over the URL corpus."""
+    from .operators.discovery import top_sections
+
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    return top_sections(cand)
+
+
+def _sql_d10() -> str:
+    from .operators.discovery import sql_top_sections
+
+    return sql_top_sections(
+        f"(SELECT url_canon FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL)",
+        "url_canon",
+    )
+
+
+# ---------------------------------------------------------------------------
+# content family (C1-C5 cascades over deterministic synthetic HTML)
+# ---------------------------------------------------------------------------
+
+
+def c_extract(spark, sf_dir):
+    """C1+C3+C4+C5: title/date/author cascades + boilerplate-stripped
+    text length, over per-doc synthetic HTML (1/7 of pages lack
+    <title> → h1 fallback path is exercised)."""
+    from .operators import content as C
+
+    d = _t(spark, sf_dir, "documents")
+    html = C.synth_html(F.col("doc_id"), F.col("text"))
+    return d.select(
+        "doc_id",
+        C.extract_title(html).alias("title"),
+        C.extract_date(html).alias("pub_date"),
+        C.extract_author(html).alias("author"),
+        F.length(C.clean_html(html)).alias("clean_len"),
+    )
+
+
+def _sql_c_extract() -> str:
+    from .operators import content as C
+
+    html = C.sql_synth_html()
+    return (
+        f"SELECT doc_id, {C.sql_extract_title(html)} AS title, "
+        f"{C.sql_extract_date(html)} AS pub_date, "
+        f"{C.sql_extract_author(html)} AS author, "
+        f"length({C.sql_clean_html(html)})::INT AS clean_len FROM documents"
+    )
+
+
+def c2_main_content(spark, sf_dir):
+    """C2: block scoring (content div vs nav) with the reference's
+    formula; the content block must win on every synthetic page."""
+    from .operators import content as C
+
+    d = _t(spark, sf_dir, "documents")
+    withhtml = d.select(
+        "doc_id", C.synth_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    return C.extract_main_content(withhtml).select(
+        "doc_id", "div_score", "nav_score", F.length("main_content").alias("content_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML-feature family
+# ---------------------------------------------------------------------------
+
+
+def m1_tfidf_top3(spark, sf_dir):
+    """M1: TF-IDF as explode + two aggregations; top-3 terms per doc.
+    (The pyspark.ml HashingTF/IDF pipeline wraps the same math; this
+    relational form is what the DuckDB oracle can check value-exactly.)"""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+def _sql_m1() -> str:
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.tf::DOUBLE / doclen.len) * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup + similarity families
 # ---------------------------------------------------------------------------
 
@@ -735,6 +937,16 @@ REGISTRY: dict[str, tuple] = {
     "s3_link_diff": (s3_link_diff, SQL_S3),
     "s5_paged_scan": (s5_paged_scan, SQL_S5),
     "s6_group_stats": (s6_group_stats, SQL_S6),
+    # discovery
+    "d1_url_features": (d1_url_features, _sql_d1()),
+    "d2_url_templates": (d2_url_templates, _sql_d2()),
+    "d8_url_similarity": (d8_url_similarity, _sql_d8()),
+    "d10_top_sections": (d10_top_sections, _sql_d10()),
+    # content extraction
+    "c_extract": (c_extract, _sql_c_extract()),
+    "c2_main_content": (c2_main_content, None),
+    # ML features
+    "m1_tfidf_top3": (m1_tfidf_top3, _sql_m1()),
     # text
     "t_tokens": (t_tokens, SQL_T_TOKENS),
     "t_quality": (t_quality, SQL_T_QUALITY),

@@ -38,7 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NB: keep the heap modest. A 48g dynamically-grown G1 heap
+        # measured 2M rows/s at local[32] vs 158M rows/s with 8g on the
+        # same query (page-fault/GC thrash while the heap inflates under
+        # 32 allocating threads). The engine streams its payload to
+        # parquet rather than caching it, so a big heap buys nothing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

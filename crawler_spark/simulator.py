@@ -28,7 +28,7 @@ import re
 from dataclasses import dataclass, field
 
 from . import fixtures as fx
-from .functions.url import py_canonicalize, py_hash60, py_host, py_path
+from .functions.url import py_canonicalize, py_host, py_path, py_xxhash64
 from .operators.jobtype import py_job_type
 from .operators.priority import py_priority_score
 
@@ -72,7 +72,7 @@ def simulate(
         canon = py_canonicalize(u)
         if canon is None:
             continue
-        _frontier_insert(res.frontier, py_hash60(canon), canon, py_host(canon), 0, None)
+        _frontier_insert(res.frontier, py_xxhash64(canon), canon, py_host(canon), 0, None)
 
     for epoch in range(1, num_epochs + 1):
         # --- candidates: fresh (not in failed) ∪ retryable ----------------
@@ -132,7 +132,7 @@ def simulate(
                     if canon is None:
                         continue
                     _frontier_insert(
-                        res.frontier, py_hash60(canon), canon, py_host(canon), depth + 1, url
+                        res.frontier, py_xxhash64(canon), canon, py_host(canon), depth + 1, url
                     )
             else:
                 res.failed[uh] = {

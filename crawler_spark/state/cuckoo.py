@@ -1,0 +1,194 @@
+"""Cuckoo-filter URL-seen set — the deletable variant of the Bloom
+pre-filter (re-crawl semantics: forgetting a URL re-admits it).
+
+Partial-key cuckoo filter (public technique: Fan, Andersen,
+Kaminsky, Mitzenmacher — "Cuckoo Filter: Practically Better Than
+Bloom"): m buckets x 4 slots of 16-bit fingerprints; a key lives in
+bucket i1 = h(key) or i2 = i1 XOR h(fingerprint), so membership,
+deletion, and even merging need only (bucket, fingerprint) — never the
+original key. That property is what makes the distributed build work:
+per-partition filters are merged by re-inserting each occupied slot's
+(i, f) pair, because i is always one of the two legal buckets and the
+other is i XOR h(f).
+
+Same interface as :class:`crawler_spark.state.bloom.BloomSeenSet`
+(build / might_contain / probe_udf) plus ``delete``. Used by the
+admission anti-join exactly like the Bloom: pre-filter, then exact
+anti-join confirmation — false positives cost a shuffle row, false
+negatives cannot happen for inserted-and-not-deleted keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SLOTS = 4
+MAX_KICKS = 500
+
+
+def _fingerprint(keys: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint — multiplicative mix of the whole
+    key (a plain bit-slice degenerates to constant fingerprints for
+    small/structured keys)."""
+    u = keys.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87)
+    f = ((u >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    return np.where(f == 0, np.uint16(1), f)
+
+
+def _fp_hash(f: np.ndarray | int) -> np.ndarray | int:
+    """Cheap avalanche of the fingerprint for the alt-bucket XOR."""
+    x = np.uint64(f) * np.uint64(0x5BD1E995)
+    return x ^ (x >> np.uint64(13))
+
+
+class CuckooSeenSet:
+    def __init__(self, num_buckets: int):
+        # power of two so XOR addressing stays in range
+        m = 1
+        while m < num_buckets:
+            m <<= 1
+        self.m = m
+        self.table = np.zeros((m, SLOTS), dtype=np.uint16)
+
+    @classmethod
+    def for_keys(cls, expected_keys: int, load: float = 0.84) -> "CuckooSeenSet":
+        return cls(max(8, int(expected_keys / (SLOTS * load)) + 1))
+
+    # -- addressing ---------------------------------------------------------
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys.astype(np.uint64) % np.uint64(self.m)).astype(np.int64)
+
+    def _alt(self, i: np.ndarray, f: np.ndarray) -> np.ndarray:
+        return ((i.astype(np.uint64) ^ _fp_hash(f)) % np.uint64(self.m)).astype(
+            np.int64
+        )
+
+    # -- single-slot ops (insert path is inherently sequential) -------------
+
+    def _place(self, i: int, f: int) -> bool:
+        row = self.table[i]
+        empty = np.nonzero(row == 0)[0]
+        if empty.size:
+            row[empty[0]] = f
+            return True
+        return False
+
+    def insert_pair(self, i: int, f: int, rng_state: int = 0x9E3779B9) -> bool:
+        """Insert fingerprint f whose current legal bucket is i."""
+        j = int(self._alt(np.array([i]), np.array([f], dtype=np.uint16))[0])
+        if self._place(i, f) or self._place(j, f):
+            return True
+        cur = j
+        state = (rng_state ^ f) & 0xFFFFFFFF
+        for _ in range(MAX_KICKS):
+            state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+            slot = state % SLOTS
+            f, self.table[cur, slot] = int(self.table[cur, slot]), f
+            cur = int(
+                self._alt(np.array([cur]), np.array([f], dtype=np.uint16))[0]
+            )
+            if self._place(cur, f):
+                return True
+        return False  # filter over-full
+
+    def insert(self, keys: np.ndarray) -> int:
+        keys = np.asarray(keys, dtype=np.int64)
+        fs = _fingerprint(keys)
+        i1 = self._i1(keys)
+        failed = 0
+        for i, f in zip(i1, fs):
+            if not self.insert_pair(int(i), int(f)):
+                failed += 1
+        return failed
+
+    def delete(self, keys: np.ndarray) -> int:
+        """Remove one copy of each key's fingerprint; returns #missing."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fs = _fingerprint(keys)
+        i1 = self._i1(keys)
+        i2 = self._alt(i1, fs)
+        missing = 0
+        for a, b, f in zip(i1, i2, fs):
+            for i in (int(a), int(b)):
+                hit = np.nonzero(self.table[i] == f)[0]
+                if hit.size:
+                    self.table[i, hit[0]] = 0
+                    break
+            else:
+                missing += 1
+        return missing
+
+    # -- vectorized probe ----------------------------------------------------
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        fs = _fingerprint(keys)
+        i1 = self._i1(keys)
+        i2 = self._alt(i1, fs)
+        in1 = (self.table[i1] == fs[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fs[:, None]).any(axis=1)
+        return in1 | in2
+
+    # -- distributed build ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        key_col: str = "url_hash",
+        expected_keys: int | None = None,
+        tree_depth: int = 2,
+    ) -> "CuckooSeenSet":
+        """Per-partition filters merged via treeAggregate: merging
+        re-inserts each occupied (bucket, fingerprint) slot, which is
+        sufficient because the pair determines both legal buckets."""
+        if expected_keys is None:
+            expected_keys = df.count()
+        proto = cls.for_keys(expected_keys)
+        m = proto.m
+
+        def build_partition(rows) -> np.ndarray:
+            flt = cls(m)
+            keys = np.fromiter((r[0] for r in rows), dtype=np.int64)
+            if keys.size:
+                flt.insert(keys)
+            return flt.table
+
+        def merge_tables(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            flt = cls(m)
+            flt.table = a.copy()
+            bi, bs = np.nonzero(b)
+            for i, s in zip(bi, bs):
+                flt.insert_pair(int(i), int(b[i, s]))
+            return flt.table
+
+        part = df.select(key_col).rdd.mapPartitions(lambda it: [build_partition(it)])
+        merged = part.treeAggregate(
+            np.zeros((m, SLOTS), dtype=np.uint16),
+            merge_tables,
+            merge_tables,
+            depth=tree_depth,
+        )
+        out = cls(m)
+        out.table = merged
+        return out
+
+    # -- Spark probe ---------------------------------------------------------
+
+    def probe_udf(self, spark):
+        bc = spark.sparkContext.broadcast((self.table, self.m))
+
+        @F.pandas_udf("boolean")
+        def _might_contain(keys: pd.Series) -> pd.Series:
+            table, m = bc.value
+            flt = CuckooSeenSet(m)
+            flt.table = table
+            return pd.Series(flt.might_contain(keys.to_numpy(dtype=np.int64)))
+
+        return _might_contain

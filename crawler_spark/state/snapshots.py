@@ -146,14 +146,24 @@ class SnapshotStore:
 
     # -- write ---------------------------------------------------------------
 
-    def write_table(self, epoch: int, name: str, df: DataFrame) -> None:
+    def write_table(
+        self, epoch: int, name: str, df: DataFrame, rebalance: bool = False
+    ) -> None:
         """Write one table's epoch partition WITHOUT committing the
         manifest — the write-once seam: heavy outputs (the fetched
         payload table) are executed exactly once here, and every
         downstream derivation re-reads the parquet with column pruning
-        instead of re-running (or caching) the producing job."""
+        instead of re-running (or caching) the producing job.
+
+        ``rebalance=True`` inserts an AQE REBALANCE before the write:
+        output file count follows data volume (1 file for a KB-scale
+        delta, many at TB scale) instead of inheriting the upstream
+        task count — writing a 2k-row delta through 32 tiny tasks
+        costs ~1-2 s of pure scheduling per table. Not used for the
+        payload table, whose bytes would pay a full extra shuffle."""
         path = self.root / name / f"epoch={epoch}"
-        df.write.mode("overwrite").parquet(str(path))
+        out = df.hint("rebalance") if rebalance else df
+        out.write.mode("overwrite").parquet(str(path))
 
     def read_table(self, epoch: int, name: str) -> DataFrame:
         """Read back one (possibly not-yet-committed) epoch partition."""
@@ -173,12 +183,20 @@ class SnapshotStore:
         manifest["latest_epoch"] = max(manifest["latest_epoch"], epoch)
         self._write_manifest(manifest)
 
-    def write_epoch(self, epoch: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
+    def write_epoch(
+        self,
+        epoch: int,
+        tables: dict[str, DataFrame],
+        stats: dict | None = None,
+        rebalance: bool = True,
+    ) -> None:
         """Write all deltas for an epoch, then atomically commit the
         manifest. An interrupted epoch (data written, manifest not) is
-        invisible to resume and is overwritten on retry."""
+        invisible to resume and is overwritten on retry. Callers of
+        this convenience path write small state tables (seeding,
+        tests) — rebalanced by default."""
         for name, df in tables.items():
-            self.write_table(epoch, name, df)
+            self.write_table(epoch, name, df, rebalance=rebalance)
         self.commit_epoch(epoch, list(tables), stats)
 
     # -- read ----------------------------------------------------------------

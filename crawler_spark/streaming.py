@@ -1,0 +1,122 @@
+"""Structured Streaming face of the engine (SURVEY §2.Streaming).
+
+The reference is a continuous loop: worker threads drain a live queue
+while the smart loop sleeps adaptively (/root/reference/core/
+crawler.py:948-982, scripts/smart_crawler.py:750-792). The engine's
+canonical re-expression is iterated batch epochs (exact, resumable —
+epoch.py); this module is the *streaming* deployment of the same
+dataflow for users who want a long-running process:
+
+* ``stream_crawl`` — a rate-source-driven ``foreachBatch`` loop where
+  every micro-batch triggers one scheduling epoch against the same
+  SnapshotStore. Exactly-once comes from the store's manifest commit
+  (epoch = batch id), NOT from sink-side dedup: a replayed batch
+  overwrites its own uncommitted output and re-commits idempotently.
+* ``windowed_fetch_metrics`` — event-time tumbling-window metrics with
+  a watermark for late rows: the streaming analogue of the F15
+  aggregation (the reference has no event-time concept; its phase
+  timer is processing-time — smart_crawler.py:396-462).
+* ``sessionized_hosts`` — session windows per host via
+  ``session_window`` (gap-based), the streaming form of q_sessionize.
+
+All are plain DataFrame programs over ``readStream`` inputs; tests
+drive them with a MemoryStream-equivalent (file source on a temp dir)
+and ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .epoch import EpochConfig, run_epoch
+from .state.snapshots import SnapshotStore
+
+
+def windowed_fetch_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling metrics with late-data watermark.
+
+    events(ts timestamp, host string, status int) — works identically
+    on a batch or streaming DataFrame (same plan; the watermark node
+    is a no-op in batch mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "host")
+        .agg(
+            F.count(F.lit(1)).alias("fetches"),
+            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+            F.sum((F.col("status") != 200).cast("long")).alias("fail"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "host",
+            "fetches",
+            "ok",
+            "fail",
+        )
+    )
+
+
+def sessionized_hosts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-host session windows (gap-based) — burst detection for the
+    politeness controller."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "host")
+        .agg(F.count(F.lit(1)).alias("n_fetches"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "host",
+            "n_fetches",
+        )
+    )
+
+
+def stream_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    cfg: EpochConfig,
+    robots_rules: DataFrame | None = None,
+    rows_per_second: int = 1,
+    max_epochs: int | None = None,
+):
+    """Drive scheduling epochs from a streaming trigger.
+
+    The rate source emits one row per trigger interval; each
+    micro-batch runs exactly one epoch via ``foreachBatch``. Restart
+    safety: ``run_epoch`` derives its epoch number from the store's
+    committed manifest (NOT the batch id), so a batch replayed after a
+    crash re-runs the same epoch idempotently — uncommitted partial
+    output is overwritten before the manifest commit (F16 semantics,
+    same guarantee as the batch controller)."""
+    state = {"epochs_run": 0}
+
+    def one_epoch(batch_df, batch_id):
+        if max_epochs is not None and state["epochs_run"] >= max_epochs:
+            return
+        epoch = store.latest_epoch() + 1
+        if epoch == 0:
+            return  # not seeded yet — nothing to schedule
+        stats = run_epoch(spark, store, epoch, cfg, robots_rules=robots_rules)
+        state["epochs_run"] += 1
+        if stats["selected"] == 0 and max_epochs is None:
+            raise StopIteration("frontier exhausted")
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return (
+        stream.writeStream.foreachBatch(one_epoch)
+        .option("checkpointLocation", str(store.root / "_stream_checkpoint"))
+        .trigger(processingTime="1 second")
+        .start()
+    )

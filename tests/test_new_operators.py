@@ -1,0 +1,209 @@
+"""Discovery / content / ML / multimodal / streaming operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- discovery ---------------------------------------------------------------
+
+
+def test_url_template_and_patterns(spark):
+    from crawler_spark.operators.discovery import mine_patterns, url_template
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/post/123",),
+            ("https://a.example/post/456",),
+            ("https://a.example/my-slug/x",),
+        ],
+        "url_canon string",
+    )
+    t = df.select(url_template(F.col("url_canon")).alias("t")).collect()
+    assert [r.t for r in t] == ["/post/<id>", "/post/<id>", "/<slug>/x"]
+    pats = {r.pattern: r.url_count for r in mine_patterns(df).collect()}
+    assert pats == {"/post/<id>": 2, "/<slug>/x": 1}
+
+
+def test_url_similarity_tiers(spark):
+    from crawler_spark.operators.discovery import url_similarity
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/x/y", "https://b.example/x/y", 0.1),
+            ("https://a.example/x/y", "https://a.example/x/y/z", 0.3),
+            ("https://a.example/x/y", "https://a.example/x/z", 0.5),
+        ],
+        "a string, b string, expected double",
+    )
+    rows = df.select(
+        url_similarity(F.col("a"), F.col("b")).alias("s"), "expected"
+    ).collect()
+    for r in rows:
+        assert abs(r.s - r.expected) < 1e-9
+
+
+# -- content -----------------------------------------------------------------
+
+
+def test_title_cascade_fallback(spark):
+    from crawler_spark.operators.content import extract_title, synth_html
+
+    d = spark.createDataFrame([(7, "hello"), (8, "world")], "doc_id long, text string")
+    rows = d.select(
+        "doc_id",
+        extract_title(synth_html(F.col("doc_id"), F.col("text"))).alias("t"),
+    ).collect()
+    got = {r.doc_id: r.t for r in rows}
+    assert got[7] == "Doc 7"  # doc_id%7==0 → no <title> → h1 fallback
+    assert got[8] == "Doc 8"  # via <title>, site suffix stripped
+
+
+def test_main_content_block_wins(spark):
+    from crawler_spark.operators.content import extract_main_content, synth_html
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    withhtml = d.select(
+        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    out = extract_main_content(withhtml)
+    assert out.filter(F.col("div_score") <= F.col("nav_score")).count() == 0
+
+
+# -- ML ----------------------------------------------------------------------
+
+
+def test_content_classifier_end_to_end(spark):
+    from crawler_spark import ml
+
+    model, metrics = ml.train_content_classifier(spark, n_per_class=100)
+    assert metrics["accuracy"] > 0.9  # separable synthetic corpus
+    docs = spark.createDataFrame(
+        [(1, "how why what answer ask help how why"),
+         (2, "report analysis study review section report")],
+        "doc_id long, text string",
+    )
+    pred = {r.doc_id: r.predicted_class for r in
+            ml.predict_content_type(model, docs).collect()}
+    assert pred == {1: "question", 2: "article"}
+
+
+def test_keyword_domain_features(spark):
+    from crawler_spark import ml
+
+    d = spark.createDataFrame(
+        [(1, "how why how expert")], "doc_id long, text string"
+    )
+    row = ml.keyword_domain_features(d).collect()[0]
+    assert row.kw_question > row.kw_article  # 'how'x2 + 'why' dominate
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_image_stats_and_resize(spark):
+    import pandas as pd
+
+    from crawler_spark import fixtures as fx
+    from crawler_spark.functions import image as img
+    from crawler_spark.functions.multimodal import (
+        format_census,
+        image_embeddings,
+        image_stats,
+        resize_images,
+    )
+
+    payloads = [fx.py_fetch_payload(1000 + i * 37) for i in range(20)]
+    pdf = pd.DataFrame(
+        [
+            {"image_id": p["image_id"], "bytes": p["bytes"], "fmt": p["fmt"],
+             "w": p["w"], "h": p["h"]}
+            for p in payloads
+        ]
+    )
+    images = spark.createDataFrame(pdf)
+
+    stats = {r.image_id: r for r in image_stats(images).collect()}
+    p0 = payloads[0]
+    px0 = img.decode(p0["bytes"], p0["fmt"])
+    assert abs(stats[p0["image_id"]].mean_r - round(float(px0[..., 0].mean()), 4)) < 1e-9
+    assert stats[p0["image_id"]].phash == img.phash64(px0)
+
+    resized = resize_images(images, 16, 16).collect()
+    for r in resized:
+        assert img.decode_png(bytes(r.bytes)).shape == (16, 16, 3)
+
+    embs = image_embeddings(images).collect()
+    for r in embs:
+        v = np.array(r.embedding)
+        assert v.shape == (64,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    census = format_census(images)
+    plan = census._sc is not None and census._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in (plan or "")  # metadata-only: bytes never scanned
+
+
+def test_frame_sample_stub_contract(spark):
+    from crawler_spark.functions.multimodal import frame_sample
+
+    videos = spark.createDataFrame(
+        [("v1", bytearray(b"xx"), "h264")], "video_id string, bytes binary, fmt string"
+    )
+    df = frame_sample(videos)
+    assert df.schema.simpleString() == (
+        "struct<video_id:string,frame_idx:int,frame_bytes:binary>"
+    )
+    with pytest.raises(Exception):
+        df.collect()  # decode stub raises NotImplementedError in the UDF
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_windowed_metrics_batch_equivalence(spark):
+    """The streaming aggregation plan run in batch mode equals a plain
+    groupBy — same operator, two deployment modes."""
+    from crawler_spark.streaming import sessionized_hosts, windowed_fetch_metrics
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("ts"),
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), 5).cast("string")).alias("host"),
+        F.when(F.pmod(F.col("event_id"), 41) == 0, 503).otherwise(200).alias("status"),
+    )
+    w = windowed_fetch_metrics(e).collect()
+    total = sum(r.fetches for r in w)
+    assert total == e.count()
+    s = sessionized_hosts(e)
+    assert s.count() > 0
+
+
+def test_stream_crawl_epochs(spark, store_dir):
+    """foreachBatch-driven epochs produce the same store state as the
+    batch controller (2 epochs, same seeds)."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, run_crawl, seeds_to_frontier
+    from crawler_spark.state.snapshots import SnapshotStore
+    from crawler_spark.streaming import stream_crawl
+
+    cfg = EpochConfig(epoch_budget=500)
+    seeds = fx.seeds_df(spark, 100)
+    robots = fx.robots_rules_df(spark)
+
+    s1 = SnapshotStore(spark, store_dir + "/batch")
+    run_crawl(spark, s1, seeds, cfg, num_epochs=2, robots_rules=robots)
+
+    s2 = SnapshotStore(spark, store_dir + "/stream")
+    s2.write_epoch(0, {"frontier": seeds_to_frontier(seeds)}, stats={"seeded": True})
+    q = stream_crawl(spark, s2, cfg, robots_rules=robots, max_epochs=2)
+    import time
+
+    deadline = time.time() + 120
+    while s2.latest_epoch() < 2 and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    assert s2.latest_epoch() >= 2
+    a = {r.url_hash for r in s1.read_upto("visited", 2).collect()}
+    b = {r.url_hash for r in s2.read_upto("visited", 2).collect()}
+    assert a == b
