@@ -178,14 +178,23 @@ def robots_rules_df(spark: SparkSession, num_hosts: int = 50) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def py_fail_rounds(url_canon: str) -> int:
-    hu = py_xxhash64(url_canon)
+def py_fail_rounds_h(hu: int) -> int:
+    """Fail rounds from the url_hash directly — the fetch UDF already
+    carries the hash column; re-hashing the URL per row is waste."""
     return (hu % 3) + 1 if hu % FAIL_MOD == 0 else 0
 
 
+def py_fail_rounds(url_canon: str) -> int:
+    return py_fail_rounds_h(py_xxhash64(url_canon))
+
+
+def py_fetch_status_h(hu: int, attempt: int) -> int:
+    """HTTP status for attempt number `attempt` (1-based), from hash."""
+    return 503 if attempt <= py_fail_rounds_h(hu) else 200
+
+
 def py_fetch_status(url_canon: str, attempt: int) -> int:
-    """HTTP status for attempt number `attempt` (1-based)."""
-    return 503 if attempt <= py_fail_rounds(url_canon) else 200
+    return py_fetch_status_h(py_xxhash64(url_canon), attempt)
 
 
 def py_image_dims(url_hash: int) -> tuple[int, int]:

@@ -44,18 +44,25 @@ USER_AGENTS = 6  # reference ships 6 UA strings, http.py:30-37
 
 
 def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in it:
         n = len(pdf)
         if n == 0:
             continue
-        status, image_id, data, ws, hs, fmts, captions, phashes = (
-            [], [], [], [], [], [], [], []
+        uhs = pdf["url_hash"].to_numpy(dtype="int64")
+        attempts = pdf["attempt"].to_numpy(dtype="int64")
+        # status is closed-form from (hash, attempt) — vectorized
+        fail_mask = (uhs % fx.FAIL_MOD) == 0
+        fail_rounds = np.where(fail_mask, uhs % 3 + 1, 0)
+        status = np.where(attempts <= fail_rounds, 503, 200).astype("int32")
+
+        image_id, data, ws, hs, fmts, captions, phashes = (
+            [], [], [], [], [], [], []
         )
-        for uh, url, attempt in zip(pdf["url_hash"], pdf["url_canon"], pdf["attempt"]):
-            st = fx.py_fetch_status(url, int(attempt))
-            status.append(st)
+        for uh, st in zip(uhs.tolist(), status.tolist()):
             if st == 200:
-                p = fx.py_fetch_payload(int(uh))
+                p = fx.py_fetch_payload(uh)
                 image_id.append(p["image_id"])
                 data.append(p["bytes"])
                 ws.append(p["w"])
@@ -72,7 +79,7 @@ def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 captions.append(None)
                 phashes.append(None)
         out = pdf[["url_canon", "url_hash", "host", "depth", "parent_url", "attempt", "priority"]].copy()
-        out["status"] = pd.array(status, dtype="int32")
+        out["status"] = status
         out["image_id"] = image_id
         out["bytes"] = data
         out["w"] = pd.array(ws, dtype="Int32")
@@ -80,7 +87,7 @@ def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out["fmt"] = fmts
         out["caption"] = captions
         out["phash"] = pd.array(phashes, dtype="Int64")
-        out["ua_index"] = (pdf["url_hash"] % USER_AGENTS).astype("int32")
+        out["ua_index"] = (uhs % USER_AGENTS).astype("int32")
         yield out
 
 
