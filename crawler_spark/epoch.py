@@ -108,6 +108,16 @@ def emit_links(fetched_ok: DataFrame) -> DataFrame:
     return out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def _safe_obs(obs: Observation):
+    """Observation.get raises on degenerate (empty-input) plans where
+    the observe node never materialized — treat as unknown."""
+    try:
+        got = obs.get
+        return got.get("candidates") if got else None
+    except Exception:
+        return None
+
+
 def run_epoch(
     spark: SparkSession,
     store: SnapshotStore,
@@ -231,7 +241,7 @@ def run_epoch(
         "selected": int(sum(r.selected for r in mrows)),
         "fetched_ok": int(sum(r.fetched_ok for r in mrows)),
         "fetched_fail": int(sum(r.fetched_fail for r in mrows)),
-        "candidates": obs.get.get("candidates", None) if obs.get else None,
+        "candidates": _safe_obs(obs),
         "wall_ms": int((time.time() - t0) * 1000),
     }
     store.commit_epoch(
@@ -303,13 +313,15 @@ def run_crawl(
     num_epochs: int,
     robots_rules: DataFrame | None = None,
     sleep_scale: float = 0.0,
+    reseed: bool = False,
 ) -> list[dict]:
     """Drive `num_epochs` epochs, resuming from the store's manifest.
 
-    F14: if the live frontier is empty at an epoch top, seeds are
-    re-injected (smart_crawler.py:780-783) — here, seeds are written as
-    the epoch--1 frontier delta on first run, and the loop stops early
-    when an epoch selects nothing (horizon exhausted).
+    F14 (smart_crawler.py:780-783): when an epoch selects nothing and
+    ``reseed=True``, the seed list is re-injected as a fresh frontier
+    delta ONCE and the loop continues (a recrawl would first delete
+    from the seen set — the cuckoo filter's reason to exist); without
+    reseed the loop stops early (horizon exhausted).
     """
     start = store.latest_epoch() + 1
     if start == 0:
@@ -317,7 +329,9 @@ def run_crawl(
         start = 1
     machine = PhaseMachine()
     all_stats = []
-    for epoch in range(start, start + num_epochs):
+    reseeded = False
+    epoch = start
+    while epoch < start + num_epochs:
         stats = run_epoch(spark, store, epoch, cfg, robots_rules=robots_rules)
         all_stats.append(stats)
         machine.record(
@@ -329,5 +343,15 @@ def run_crawl(
         if sleep_scale > 0:
             time.sleep(machine.sleep_minutes(epoch) * 60 * sleep_scale)
         if stats["selected"] == 0:
-            break
+            if reseed and not reseeded:
+                reseeded = True
+                store.write_table(epoch, "frontier", seeds_to_frontier(seeds), rebalance=True)
+                store.commit_epoch(
+                    epoch,
+                    ["fetched", "visited", "failed", "frontier", "metrics"],
+                    {**stats, "reseeded": True},
+                )
+            else:
+                break
+        epoch += 1
     return all_stats

@@ -196,3 +196,46 @@ def extract_main_content(docs: DataFrame, html_col: str = "html") -> DataFrame:
         div_score.cast("long").alias("div_score"),
         nav_score.cast("long").alias("nav_score"),
     )
+
+
+# -- D7: selector mining -----------------------------------------------------
+
+# candidate cascades, in reference priority order
+# (/root/reference/core/structure_discovery.py:269-548: tag+class regex
+# cascades -> container/title/content/date/author selectors)
+SELECTOR_CANDIDATES = {
+    "container": [r'<div class="(content|article|post|main)"', r"<article"],
+    "title": [r"<h1>", r'<[^>]*class="(title|headline)"', r"<h2>"],
+    "content": [r"<p>", r'<[^>]*class="(body|text|entry)"'],
+    "date": [r"<time datetime=", r'<[^>]*class="(date|published)"'],
+    "author": [r'name="author"', r'<[^>]*class="(author|byline)"'],
+}
+
+
+def mine_selectors(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """D7: first matching candidate per field → map<string,string>.
+
+    Column-expression re-expression of the reference's soup cascades:
+    each candidate regex is probed with rlike in priority order; the
+    winning PATTERN string is recorded as the 'selector'. Output one
+    map column per page (doc_id, selectors)."""
+    html = F.col(html_col)
+    entries = []
+    for field, patterns in SELECTOR_CANDIDATES.items():
+        sel = F.lit(None).cast("string")
+        for pat in reversed(patterns):
+            sel = F.when(html.rlike(pat), F.lit(pat)).otherwise(sel)
+        entries.extend([F.lit(field), sel])
+    return docs.select("doc_id", F.create_map(*entries).alias("selectors"))
+
+
+def selector_census(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Aggregate D7 over a corpus: per (field, selector) page counts —
+    the pattern-persistence input (structure_discovery.py:644-696)."""
+    mined = mine_selectors(docs, html_col)
+    exploded = mined.select("doc_id", F.explode(F.col("selectors")).alias("field", "selector"))
+    return (
+        exploded.filter(F.col("selector").isNotNull())
+        .groupBy("field", "selector")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -711,6 +711,75 @@ def _sql_d10() -> str:
 
 
 # ---------------------------------------------------------------------------
+# sitemap family (A2 + A3 + F12)
+# ---------------------------------------------------------------------------
+
+
+def a2_robots_sitemaps(spark, sf_dir):
+    """A2: scan robots.txt bodies for Sitemap: lines (per distinct host)."""
+    from .operators import sitemap as SM
+
+    hosts = (
+        R.candidates_df(spark, sf_dir)
+        .filter(F.col("host").rlike(R.HOST_SCOPE_RE))
+        .select("host")
+        .distinct()
+    )
+    robots = hosts.withColumn("robots_txt", SM.synth_robots_txt(F.col("host")))
+    return robots.select(
+        "host", F.explode(SM.robots_sitemaps(F.col("robots_txt"))).alias("sitemap_url")
+    )
+
+
+def _sql_a2() -> str:
+    from .operators import sitemap as SM
+
+    return f"""
+WITH hosts AS (SELECT DISTINCT host FROM ({SQL_CANDIDATES})
+               WHERE regexp_matches(host, '{R.HOST_SCOPE_RE}')),
+r AS (SELECT host, {SM.sql_synth_robots_txt('host')} AS robots_txt FROM hosts)
+SELECT host, unnest(regexp_extract_all(robots_txt, '(?m)^[Ss]itemap:\\s*(\\S+)', 1))
+       AS sitemap_url
+FROM r
+"""
+
+
+def a3_sitemap_expand(spark, sf_dir):
+    """A3+F12: expand each host's sitemap tree (index recursion) into
+    page frontier rows at depth 0."""
+    from .operators import sitemap as SM
+
+    sitemaps = a2_robots_sitemaps(spark, sf_dir).select(
+        F.col("sitemap_url").alias("url")
+    )
+    return SM.expand_sitemaps(sitemaps).select("url_canon", "host", "parent_url")
+
+
+def _sql_a3() -> str:
+    from .operators import sitemap as SM
+
+    loc_unnest = "unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))"
+    return f"""
+WITH hosts AS (SELECT DISTINCT host FROM ({SQL_CANDIDATES})
+               WHERE regexp_matches(host, '{R.HOST_SCOPE_RE}')),
+sm0 AS (SELECT 'https://' || host || '/sitemap.xml' AS sm_url FROM hosts),
+x0 AS (SELECT sm_url, {SM.sql_synth_sitemap_xml('sm_url')} AS xml FROM sm0),
+e0 AS (SELECT sm_url, contains(xml, '<sitemapindex') AS is_idx, {loc_unnest} AS loc FROM x0),
+sm1 AS (SELECT loc AS sm_url FROM e0 WHERE is_idx),
+x1 AS (SELECT sm_url, {SM.sql_synth_sitemap_xml('sm_url')} AS xml FROM sm1),
+e1 AS (SELECT sm_url, {loc_unnest} AS loc FROM x1),
+pages AS (
+  SELECT loc AS url_raw, sm_url AS parent_url FROM e0 WHERE NOT is_idx
+  UNION ALL
+  SELECT loc AS url_raw, sm_url AS parent_url FROM e1
+)
+SELECT DISTINCT {sql_canonicalize('url_raw')} AS url_canon,
+       {sql_url_host(sql_canonicalize('url_raw'))} AS host, parent_url
+FROM pages WHERE {sql_canonicalize('url_raw')} IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # content family (C1-C5 cascades over deterministic synthetic HTML)
 # ---------------------------------------------------------------------------
 
@@ -937,6 +1006,9 @@ REGISTRY: dict[str, tuple] = {
     "s3_link_diff": (s3_link_diff, SQL_S3),
     "s5_paged_scan": (s5_paged_scan, SQL_S5),
     "s6_group_stats": (s6_group_stats, SQL_S6),
+    # sitemap sources
+    "a2_robots_sitemaps": (a2_robots_sitemaps, _sql_a2()),
+    "a3_sitemap_expand": (a3_sitemap_expand, _sql_a3()),
     # discovery
     "d1_url_features": (d1_url_features, _sql_d1()),
     "d2_url_templates": (d2_url_templates, _sql_d2()),

@@ -207,3 +207,91 @@ def test_stream_crawl_epochs(spark, store_dir):
     a = {r.url_hash for r in s1.read_upto("visited", 2).collect()}
     b = {r.url_hash for r in s2.read_upto("visited", 2).collect()}
     assert a == b
+
+
+# -- config / NER / selectors / sitemap / reseed / model io ------------------
+
+
+def test_config_layering(tmp_path, monkeypatch):
+    import json
+
+    from crawler_spark.config import load_config, to_epoch_config
+
+    (tmp_path / "defaults.json").write_text(json.dumps({"max_depth": 7}))
+    (tmp_path / "foo_config.json").write_text(json.dumps({"crawl_delay": 2.5}))
+    monkeypatch.setenv("SPARK_CRAWLER_MAX_RETRIES", "5")
+    cfg = load_config(tmp_path, domain="foo")
+    assert cfg["max_depth"] == 7 and cfg["crawl_delay"] == 2.5 and cfg["max_retries"] == 5
+    assert to_epoch_config(cfg).max_depth == 7
+
+
+def test_ner_heuristic_seam(spark):
+    from crawler_spark.functions.ner import extract_entities
+
+    d = spark.createDataFrame(
+        [(1, "Alice Smith met Bob in Paris today"), (2, "no caps here")],
+        "doc_id long, text string",
+    )
+    rows = extract_entities(d).collect()
+    got = {r.doc_id: r.entities for r in rows}
+    assert "Alice Smith" in got[1] and "Paris" in got[1]
+    assert 2 not in got  # no entities → no row
+
+
+def test_selector_mining(spark):
+    from crawler_spark.operators.content import mine_selectors, selector_census, synth_html
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    withhtml = d.select("doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html"))
+    sels = mine_selectors(withhtml).collect()
+    for r in sels:
+        assert r.selectors["container"] is not None  # content div present
+        assert r.selectors["date"] == "<time datetime="
+    census = {(r.field, r.selector): r.n_pages for r in selector_census(withhtml).collect()}
+    assert census[("date", "<time datetime=")] == 30
+
+
+def test_sitemap_expand_engine(spark):
+    from crawler_spark.operators.sitemap import expand_sitemaps
+
+    sm = spark.createDataFrame(
+        [("https://host4.example/sitemap.xml",), ("https://host5.example/sitemap.xml",)],
+        "url string",
+    )
+    rows = expand_sitemaps(sm).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.url_canon)
+    assert len(by_host["host4.example"]) == 6  # index -> 2 child maps x 3
+    assert len(by_host["host5.example"]) == 3  # plain urlset
+    assert all(r.depth == 0 for r in rows)
+
+
+def test_reseed_f14(spark, store_dir):
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, run_crawl
+    from crawler_spark.state.snapshots import SnapshotStore
+
+    cfg = EpochConfig(epoch_budget=50, max_depth=0)  # depth 0 only → exhausts fast
+    seeds = fx.seeds_df(spark, 20)
+    store = SnapshotStore(spark, store_dir)
+    stats = run_crawl(spark, store, seeds, cfg, num_epochs=6,
+                      robots_rules=fx.robots_rules_df(spark), reseed=True)
+    zeros = [s for s in stats if s["selected"] == 0]
+    assert len(zeros) >= 2  # exhausted once, reseeded, exhausted again
+    manifest = store._read_manifest()
+    assert any(m["stats"].get("reseeded") for m in manifest["epochs"].values())
+
+
+def test_model_save_load_m10(spark, tmp_path):
+    from crawler_spark import ml
+    from pyspark.ml import PipelineModel
+
+    model, _ = ml.train_content_classifier(spark, n_per_class=50)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    docs = spark.createDataFrame([(1, "how why what answer")], "doc_id long, text string")
+    a = ml.predict_content_type(model, docs).collect()[0]
+    b = ml.predict_content_type(loaded, docs).collect()[0]
+    assert a.predicted_class == b.predicted_class
