@@ -197,11 +197,40 @@ FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL GROUP BY host
 """
 
 
+def _oracle_out_links(url_canon, depth):
+    """Portable (md5-hash60) variant of the fixtures' closed-form link
+    graph — the engine's own out_links runs on the xxhash64 engine hash
+    (not reproducible in DuckDB); this mirror keeps the F11 operator
+    shape value-checkable. Same structure, different hash universe."""
+    from .fixtures import EXTERNAL_MOD, FANOUT_MOD, QUERY_MOD, QUERY_REM, SECTIONS
+    from .functions.url import hash60
+
+    hu = hash60(url_canon)
+    fanout = F.greatest(F.lit(0), F.pmod(hu, FANOUT_MOD) - depth).cast("int")
+    parent_host = F.regexp_extract(url_canon, r"^https?://([^/]+)", 1)
+
+    def child(i):
+        hc = hash60(F.concat(url_canon, F.lit("#"), i.cast("string")))
+        ext_host = F.concat(F.lit("ext"), F.pmod(hc, 97).cast("string"), F.lit(".invalid"))
+        host = F.when(F.pmod(hc, EXTERNAL_MOD) == 0, ext_host).otherwise(parent_host)
+        section = F.element_at(
+            F.array(*[F.lit(s) for s in SECTIONS]), (F.pmod(hc, 5) + 1).cast("int")
+        )
+        ident = F.pmod(hc, 1_000_000_000).cast("string")
+        q = F.when(
+            F.pmod(hc, QUERY_MOD) == QUERY_REM,
+            F.concat(F.lit("?ref="), i.cast("string"), F.lit("#frag")),
+        ).otherwise(F.lit(""))
+        return F.concat(F.lit("https://"), host, F.lit("/"), section, F.lit("/"), ident, q)
+
+    return F.when(
+        fanout > 0, F.transform(F.sequence(F.lit(0), fanout - 1), child)
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def f11_link_emit(spark, sf_dir):
     """F11+F1: closed-form out-links of the 200 lowest-k admitted URLs
     at depth 0, exploded + canonicalized + deduped by url_hash."""
-    from .fixtures import out_links
-
     seeds = (
         R.candidates_df(spark, sf_dir)
         .filter(F.col("url_canon").isNotNull() & F.col("host").rlike(R.HOST_SCOPE_RE))
@@ -213,7 +242,7 @@ def f11_link_emit(spark, sf_dir):
 
     links = seeds.select(
         F.col("url_canon").alias("parent"),
-        F.explode(out_links(F.col("url_canon"), F.lit(0))).alias("raw"),
+        F.explode(_oracle_out_links(F.col("url_canon"), F.lit(0))).alias("raw"),
     )
     canon = canonicalize(F.col("raw"))
     out = links.select(
@@ -956,7 +985,7 @@ def mm_decode_stats(spark, sf_dir):
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
-                uh = fx.py_hash60(f"doc:{doc_id}")
+                uh = fx.py_xxhash64(f"doc:{doc_id}")
                 p = fx.py_fetch_payload(uh)
                 px = (
                     img.decode_png(p["bytes"])
