@@ -90,8 +90,17 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     from crawler_spark.session import get_spark
 
     spark = get_spark(cpus, app_name="bench", shuffle_partitions=cpus)
-    # one warm-up action so JVM/codegen startup isn't billed to query 1
+    # warm-ups so one-time JVM/codegen startup and python-worker spawn
+    # aren't billed to the first measured job (steady-state throughput)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(cpus * 4).repartition(cpus).selectExpr("id").mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     out: dict = {"queries": {}, "cpus": cpus}
     fw, fr = bench_frontier(spark)
