@@ -157,8 +157,14 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 [sys.executable, __file__, "--frontier-only"],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            rps[cpus].append(json.loads(line)["frontier_rows_per_sec"])
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                sys.stderr.write(
+                    f"scaling child (local[{cpus}]) failed rc={p.returncode}\n"
+                    f"--- child stderr ---\n{p.stderr[-4000:]}\n"
+                )
+                sys.exit(1)
+            rps[cpus].append(json.loads(lines[-1])["frontier_rows_per_sec"])
     med = {c: sorted(v)[len(v) // 2] for c, v in rps.items()}
     speedup = med[hi] / med[lo]
     print(json.dumps({

@@ -139,6 +139,57 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+# -- C9: Persian text normalization (reference utils/text.py:19-48,126-150) --
+
+# PERSIAN_CHARS_MAP transcribed from the reference (utils/text.py:19-39):
+# Arabic kaf/yeh → Persian forms, Arabic-Indic digits → ASCII, taa
+# marbuta → heh, hamza carriers folded, ZWNJ (half-space) → space.
+# 1:1 char map → translate() stays JVM-side / codegen'd in Spark and
+# maps verbatim onto DuckDB's translate().
+# positional: ك→ک ي→ی ١→1 … ٠→0 ة→ه ئ→ی إ→ا أ→ا آ→ا ؤ→و ZWNJ→space
+FA_MAP_SRC = "كي١٢٣٤٥٦٧٨٩٠ةئإأآؤ‌"
+FA_MAP_DST = "کی1234567890هیاااو "
+
+# Arabic combining marks (harakat + superscript alef) — the NFKD
+# combining-class strip of utils/text.py:146-148, expressed as a char
+# class (equivalent over the Arabic block once the char map above has
+# already folded the precomposed forms).
+FA_COMBINING = "".join(chr(c) for c in range(0x064B, 0x0653)) + "ٰ"
+
+# punctuation deleted before Persian tokenization (utils/text.py:173-175:
+# string.punctuation + Persian marks)
+import string as _string
+
+FA_PUNCT = _string.punctuation + "،؛؟»«!"
+
+# the reference's 51 Persian stop words (utils/text.py:42-48)
+PERSIAN_STOP_WORDS = [
+    "از", "به", "با", "در", "بر", "را", "که", "این", "آن", "و", "یا", "اما", "ولی",
+    "برای", "تا", "هر", "چه", "چرا", "اگر", "مگر", "پس", "نیز", "حتی", "همه", "هیچ",
+    "خود", "باید", "شاید", "چون", "زیرا", "بنابراین", "سپس", "گرچه", "درباره", "بدون",
+    "توسط", "علاوه", "بین", "همچنین", "بسیار", "برخی", "می", "های", "ها", "ی", "است",
+    "نیست", "بود", "شد", "شود", "کرد", "کند", "شده", "می‌شود", "می‌کند", "دارد", "ندارد",
+]
+
+
+def fa_normalize(text: Column) -> Column:
+    """C9: char-map fold → whitespace collapse → combining-mark strip
+    (same order as normalize_persian_text, utils/text.py:126-150)."""
+    mapped = F.translate(text, FA_MAP_SRC, FA_MAP_DST)
+    collapsed = F.trim(F.regexp_replace(mapped, WS_RE, " "))
+    return F.regexp_replace(collapsed, f"[{FA_COMBINING}]", "")
+
+
+def fa_tokens(text: Column) -> Column:
+    """Persian tokenization (utils/text.py:153-183): normalize → delete
+    punctuation → split → drop stop words PER OCCURRENCE (duplicates
+    and order preserved — exact reference semantics, unlike the
+    English-side array_except deviation)."""
+    stripped = F.translate(fa_normalize(text), FA_PUNCT, "")
+    toks = F.filter(F.split(stripped, WS_RE), lambda t: t != "")
+    return F.filter(toks, lambda t: ~t.isin(PERSIAN_STOP_WORDS))
+
+
 # -- document fingerprint (min-k sketch) ------------------------------------
 
 
@@ -242,3 +293,22 @@ def sql_fingerprint(expr: str, k: int = 4) -> str:
     hashes = f"list_transform({sql_content_tokens(expr)}, t -> {sql_hash60('t')})"
     topk = f"list_slice(list_sort({hashes}), 1, {k})"
     return f"array_to_string(list_transform({topk}, h -> h::VARCHAR), '-')"
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def sql_fa_normalize(expr: str) -> str:
+    mapped = f"translate({expr}, '{FA_MAP_SRC}', '{FA_MAP_DST}')"
+    collapsed = f"trim(regexp_replace({mapped}, '{WS_RE}', ' ', 'g'))"
+    return f"regexp_replace({collapsed}, '[{FA_COMBINING}]', '', 'g')"
+
+
+def sql_fa_tokens(expr: str) -> str:
+    stripped = f"translate({sql_fa_normalize(expr)}, '{_sql_quote(FA_PUNCT)}', '')"
+    toks = f"list_filter(string_split_regex({stripped}, '{WS_RE}'), t -> t <> '')"
+    return (
+        f"list_filter({toks}, "
+        f"t -> NOT list_contains({_sql_list(PERSIAN_STOP_WORDS)}, t))"
+    )

@@ -18,9 +18,12 @@ set-oriented equivalent, per scheduling epoch:
 Tie-break note: the reference's equal-priority order is heap-internal
 and thread-racy (CrawlJob.__lt__ compares priority only,
 crawler.py:54-65); BASELINE allows a documented rule. Ours is
-``(priority, depth, url_hash)`` — total, deterministic, and portable
-(the hash is the md5-60bit one), used identically by the DuckDB oracle
-and the parity simulator.
+``(priority, depth, url_hash)`` — total and deterministic. The crawl
+engine keys url_hash on lock-free xxhash64 (``engine_hash``, mirrored
+bit-exactly by ``py_xxhash64`` in the parity simulator); the
+DuckDB-checked relational corpus uses the portable md5-based hash60
+instead (DuckDB cannot reproduce xxhash64) — same rule, two hash
+universes.
 
 Skew: one hot host owning ~30 % of the frontier would put the window
 rank on one task. The window keys on (host) and must see all rows of a

@@ -479,7 +479,8 @@ WITH g AS (
             ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -626,6 +627,63 @@ def t_langid(spark, sf_dir):
 SQL_T_LANGID = (
     f"SELECT doc_id, lang, {TX.sql_lang_id('text')} AS pred_lang FROM documents"
 )
+
+
+# C9 exercise corpus: deterministic Persian-ish strings per doc_id,
+# with Arabic-presentation forms (ي ك ة أ), Arabic-Indic digits, ZWNJ
+# half-space and a combining kasra — every branch of the reference's
+# PERSIAN_CHARS_MAP + NFKD strip (utils/text.py:19-48,126-150) fires.
+FA_VOCAB = [
+    "قانوني", "وكيل", "محكمة", "دادگاه", "قاضي", "حكم",
+    "شكايت", "المادة", "٣٤٥", "می‌شود", "حقوقِ", "رأي",
+]
+_FA_WORDS = 6
+
+
+def _fa_raw(doc_id):
+    from .functions.url import hash60
+
+    h = hash60(F.concat(F.lit("fa:"), doc_id.cast("string")))
+    vocab = F.array(*[F.lit(w) for w in FA_VOCAB])
+    words = [
+        F.element_at(
+            vocab, (F.pmod(F.shiftright(h, 3 * i), len(FA_VOCAB)) + 1).cast("int")
+        )
+        for i in range(_FA_WORDS)
+    ]
+    return F.concat_ws(" ", *words)
+
+
+def _sql_fa_raw(doc_id: str = "doc_id") -> str:
+    h = sql_hash60(f"'fa:' || {doc_id}")
+    vocab = "[" + ", ".join(f"'{w}'" for w in FA_VOCAB) + "]"
+    words = [
+        f"({vocab})[((({h}) >> {3 * i}) % {len(FA_VOCAB)})::INT + 1]"
+        for i in range(_FA_WORDS)
+    ]
+    return "(" + " || ' ' || ".join(words) + ")"
+
+
+def t_fa_normalize(spark, sf_dir):
+    """C9: Persian char-map normalization + tokenization over the
+    synthetic Persian corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = _fa_raw(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        raw.alias("fa_raw"),
+        TX.fa_normalize(raw).alias("fa_norm"),
+        F.size(TX.fa_tokens(raw)).alias("n_fa_tokens"),
+    )
+
+
+def _sql_t_fa_normalize() -> str:
+    raw = _sql_fa_raw()
+    return (
+        f"SELECT doc_id, {raw} AS fa_raw, "
+        f"{TX.sql_fa_normalize(raw)} AS fa_norm, "
+        f"len({TX.sql_fa_tokens(raw)})::INT AS n_fa_tokens FROM documents"
+    )
 
 
 def t_fingerprint(spark, sf_dir):
@@ -952,7 +1010,15 @@ def ann_lsh_census(spark, sf_dir):
 
 def fe_epoch(spark, sf_dir):
     """One full scheduling epoch on the synthetic world: 300 seeds →
-    canonicalize → admit → rank → fetch → fetched rows."""
+    canonicalize → admit → rank → fetch → fetched rows.
+
+    The snapshot store lives in a session-scoped scratch dir (cleaned
+    at interpreter exit) so the returned DataFrame is a plain pruned
+    parquet scan — NO driver-side collect anywhere in the query path
+    (a full-epoch result must stay distributed at scale)."""
+    import atexit
+    import shutil
+
     from . import fixtures as fx
     from .epoch import EpochConfig, run_crawl
     from .state.snapshots import SnapshotStore
@@ -960,14 +1026,13 @@ def fe_epoch(spark, sf_dir):
     cfg = EpochConfig(epoch_budget=2000, use_bloom=False)
     seeds = fx.seeds_df(spark, 300)
     robots = fx.robots_rules_df(spark)
-    with tempfile.TemporaryDirectory() as tmp:
-        store = SnapshotStore(spark, tmp)
-        run_crawl(spark, store, seeds, cfg, num_epochs=2, robots_rules=robots)
-        out = store.read_upto("visited").select(
-            "url_hash", "url_canon", "host", "depth", "priority"
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
-    return out
+    tmp = tempfile.mkdtemp(prefix="fe_epoch_")
+    atexit.register(shutil.rmtree, tmp, True)
+    store = SnapshotStore(spark, tmp)
+    run_crawl(spark, store, seeds, cfg, num_epochs=2, robots_rules=robots)
+    return store.read_upto("visited").select(
+        "url_hash", "url_canon", "host", "depth", "priority"
+    )
 
 
 def mm_decode_stats(spark, sf_dir):
@@ -1053,6 +1118,7 @@ REGISTRY: dict[str, tuple] = {
     "t_quality": (t_quality, SQL_T_QUALITY),
     "t_langid": (t_langid, SQL_T_LANGID),
     "t_fingerprint": (t_fingerprint, SQL_T_FINGERPRINT),
+    "t_fa_normalize": (t_fa_normalize, _sql_t_fa_normalize()),
     # dedup
     "dd_exact": (dd_exact, DD.sql_exact_groups()),
     "dd_minhash_buckets": (dd_minhash_buckets, DD.sql_lsh_buckets()),

@@ -34,6 +34,44 @@ def norm_cell(v):
     return repr(v)
 
 
+# DuckDB physical type → compatible Spark dtypes. The driver's value
+# hash is TYPE-TAGGED (a DuckDB HUGEINT int128 hashes differently from
+# a Spark bigint even when the values are equal — the exact miss that
+# made q_sessionize driver-red in round 1 while repr()-based compare
+# passed locally). Unmapped or mismatched physical types FAIL here.
+_INTS = {"tinyint", "smallint", "int", "bigint"}
+DUCK_TO_SPARK = {
+    # native int widths all hash as int64 driver-side (m1's BIGINT rk
+    # vs Spark int passed in round 1) — one family
+    "BIGINT": _INTS,
+    "INTEGER": _INTS,
+    "SMALLINT": _INTS,
+    "TINYINT": _INTS,
+    "HUGEINT": {"decimal(38,0)"},  # int128 — hashes differently from int64
+    "DOUBLE": {"double", "float"},
+    "FLOAT": {"double", "float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+}
+
+
+def type_mismatches(duck_cols, duck_types, spark_dtypes) -> list[str]:
+    """[(col, duck_type, spark_type)] pairs whose physical types would
+    hash differently in the driver's compare."""
+    sp = dict(spark_dtypes)
+    bad = []
+    for col, dt in zip(duck_cols, duck_types):
+        dt_s = str(dt).upper()
+        ok = DUCK_TO_SPARK.get(dt_s)
+        if ok is None:
+            bad.append(f"{col}: unmapped duckdb type {dt_s} (spark {sp.get(col)})")
+        elif sp.get(col) not in ok:
+            bad.append(f"{col}: duckdb {dt_s} vs spark {sp.get(col)}")
+    return bad
+
+
 def df_to_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
@@ -83,6 +121,11 @@ def main():
             continue
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
+            failures.append(name)
+            continue
+        bad_types = type_mismatches(rel.columns, rel.types, sdf.dtypes)
+        if bad_types:
+            print(f"FAIL {name}: type-tag mismatch (driver hash would differ): {bad_types}")
             failures.append(name)
             continue
         if len(srows) != len(drows):
