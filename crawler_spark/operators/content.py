@@ -44,14 +44,26 @@ def synth_html(doc_id: Column, text: Column) -> Column:
         F.lit("-"),
         (F.pmod(doc_id, 28) + 1).cast("string"),
     )
+    # doc_id%11==0 pages carry ONLY a Persian free-text date — the C4
+    # cascade must fall through <time> and meta to the regex tier
+    date_block = F.when(
+        F.pmod(doc_id, 11) == 0,
+        F.concat(
+            F.lit("<p>تاریخ: 1402/"),
+            (F.pmod(doc_id, 12) + 1).cast("string"),
+            F.lit("/"),
+            (F.pmod(doc_id, 28) + 1).cast("string"),
+            F.lit("</p>"),
+        ),
+    ).otherwise(F.concat(F.lit('<time datetime="'), date, F.lit('"></time>')))
     return F.concat(
         F.lit("<html><head>"),
         title_tag,
         F.lit('<meta name="author" content="Author '),
         F.pmod(doc_id, 20).cast("string"),
-        F.lit('"><time datetime="'),
-        date,
-        F.lit('"></time></head><body><nav><a href="/a">x</a><a href="/b">y</a></nav>'),
+        F.lit('">'),
+        date_block,
+        F.lit('</head><body><nav><a href="/a">x</a><a href="/b">y</a></nav>'),
         F.lit('<div class="content"><h1>Doc '),
         doc_id.cast("string"),
         F.lit("</h1><p>"),
@@ -67,11 +79,16 @@ def sql_synth_html(doc_id: str = "doc_id", text: str = "text") -> str:
         f"ELSE '<title>Doc ' || {doc_id} || '{SITE_SUFFIX}</title>' END)"
     )
     date = f"('2024-' || ({doc_id} % 12 + 1) || '-' || ({doc_id} % 28 + 1))"
+    date_block = (
+        f"(CASE WHEN {doc_id} % 11 = 0 "
+        f"THEN '<p>تاریخ: 1402/' || ({doc_id} % 12 + 1) || '/' || ({doc_id} % 28 + 1) || '</p>' "
+        f"ELSE '<time datetime=\"' || {date} || '\"></time>' END)"
+    )
     return (
         f"('<html><head>' || {title_tag} || "
         f"'<meta name=\"author\" content=\"Author ' || ({doc_id} % 20) || "
-        f"'\"><time datetime=\"' || {date} || "
-        f"'\"></time></head><body><nav><a href=\"/a\">x</a><a href=\"/b\">y</a></nav>' || "
+        f"'\">' || {date_block} || "
+        f"'</head><body><nav><a href=\"/a\">x</a><a href=\"/b\">y</a></nav>' || "
         f"'<div class=\"content\"><h1>Doc ' || {doc_id} || '</h1><p>' || {text} || "
         f"'</p><p>tail</p><p>more</p></div>' || "
         f"'<footer>boilerplate</footer></body></html>')"
@@ -102,18 +119,32 @@ def sql_extract_title(html: str) -> str:
 
 RE_TIME = r'<time datetime="([^"]*)"'
 RE_META_DATE = r'property="article:published_time" content="([^"]*)"'
+# C4 tier 3: the reference's Persian regex patterns
+# (content_extractor.py:489-503: date-like runs near a تاریخ label,
+# Persian or ASCII digits) — pages with no <time> and no meta fall
+# through to this tier.
+RE_FA_DATE = r"تاریخ: ([0-9۰-۹]{4}/[0-9۰-۹]{1,2}/[0-9۰-۹]{1,2})"
 
 
 def extract_date(html: Column) -> Column:
     t = F.regexp_extract(html, RE_TIME, 1)
     meta = F.regexp_extract(html, RE_META_DATE, 1)
-    return F.when(t != "", t).otherwise(F.when(meta != "", meta))
+    fa = F.regexp_extract(html, RE_FA_DATE, 1)
+    return (
+        F.when(t != "", t)
+        .when(meta != "", meta)
+        .otherwise(F.when(fa != "", fa))
+    )
 
 
 def sql_extract_date(html: str) -> str:
     t = f"regexp_extract({html}, '{RE_TIME}', 1)"
     meta = f"regexp_extract({html}, 'property=\"article:published_time\" content=\"([^\"]*)\"', 1)"
-    return f"(CASE WHEN {t} <> '' THEN {t} WHEN {meta} <> '' THEN {meta} END)"
+    fa = f"regexp_extract({html}, '{RE_FA_DATE}', 1)"
+    return (
+        f"(CASE WHEN {t} <> '' THEN {t} WHEN {meta} <> '' THEN {meta} "
+        f"WHEN {fa} <> '' THEN {fa} END)"
+    )
 
 
 # -- C5: author --------------------------------------------------------------
@@ -227,6 +258,204 @@ def mine_selectors(docs: DataFrame, html_col: str = "html") -> DataFrame:
             sel = F.when(html.rlike(pat), F.lit(pat)).otherwise(sel)
         entries.extend([F.lit(field), sel])
     return docs.select("doc_id", F.create_map(*entries).alias("selectors"))
+
+
+# -- C7: list-item extraction (content_extractor.py:604-663) -----------------
+#
+# The reference finds a (list|items|posts|articles)-class container and
+# emits {title, link, summary} per item element. Re-expression: the
+# container block is isolated with one regex, per-field
+# regexp_extract_all arrays are zipped into array<struct> and exploded
+# — pure column expressions, no UDF, mirrored in DuckDB.
+
+RE_ITEMS_BLOCK = r'<div class="items">(.*?)</div><footer'
+RE_ITEM_LINK = r'<div class="item"><h3><a href="([^"]*)"'
+RE_ITEM_TITLE = r'<h3><a href="[^"]*">([^<]*)</a>'
+RE_ITEM_SUMMARY = r'<p class="summary">([^<]*)</p>'
+
+
+def synth_list_html(doc_id: Column) -> Column:
+    """Deterministic list page: 2..5 repeated item cards (doc_id%4+2) —
+    pages with only 2 cards exercise D6's 'not enough repeats' branch."""
+    k = (F.pmod(doc_id, 4) + 2).cast("int")
+    ds = doc_id.cast("string")
+
+    def card(i):
+        ident = F.concat(ds, F.lit("-"), i.cast("string"))
+        return F.concat(
+            F.lit('<div class="item"><h3><a href="/detail/'), ident,
+            F.lit('">Item '), ident,
+            F.lit('</a></h3><p class="summary">Summary '), ds,
+            F.lit(" "), i.cast("string"), F.lit("</p></div>"),
+        )
+
+    cards = F.array_join(F.transform(F.sequence(F.lit(0), k - 1), card), "")
+    return F.concat(
+        F.lit('<html><body><div class="items">'), cards,
+        F.lit("</div><footer>boilerplate</footer></body></html>"),
+    )
+
+
+def sql_synth_list_html(doc_id: str = "doc_id") -> str:
+    card = (
+        f"'<div class=\"item\"><h3><a href=\"/detail/' || {doc_id} || '-' || i || "
+        f"'\">Item ' || {doc_id} || '-' || i || "
+        f"'</a></h3><p class=\"summary\">Summary ' || {doc_id} || ' ' || i || '</p></div>'"
+    )
+    cards = (
+        f"array_to_string(list_transform("
+        f"generate_series(0, ({doc_id} % 4 + 2)::INT - 1), i -> {card}), '')"
+    )
+    return (
+        f"('<html><body><div class=\"items\">' || {cards} || "
+        f"'</div><footer>boilerplate</footer></body></html>')"
+    )
+
+
+def list_items(html: Column) -> Column:
+    """array<struct<title,link,summary>> of the page's item cards
+    (empty array when the page has no items container)."""
+    block = F.regexp_extract(html, RE_ITEMS_BLOCK, 1)
+    links = F.regexp_extract_all(block, F.lit(RE_ITEM_LINK), 1)
+    titles = F.regexp_extract_all(block, F.lit(RE_ITEM_TITLE), 1)
+    summaries = F.regexp_extract_all(block, F.lit(RE_ITEM_SUMMARY), 1)
+    n = F.size(titles)
+    items = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(titles, i).alias("title"),
+            F.element_at(links, i).alias("link"),
+            F.element_at(summaries, i).alias("summary"),
+        ),
+    )
+    empty = F.array().cast("array<struct<title:string,link:string,summary:string>>")
+    return F.when(n > 0, items).otherwise(empty)
+
+
+# -- C8: related-links extraction (content_extractor.py:665-751) -------------
+#
+# Container anchors → drop javascript:/mailto:/tel:/# → dedup by URL
+# keeping the FIRST occurrence → cap at 10. The keep-first dedup + cap
+# are window ranks (relational, bounded per page), not array folds.
+
+RE_RELATED_BLOCK = r'<div class="related">(.*?)</div>'
+RE_A_HREF = r'<a href="([^"]*)"'
+RE_A_TEXT = r'<a href="[^"]*">([^<]*)</a>'
+SKIP_LINK_RE = r"^(javascript:|mailto:|tel:|#)"
+RELATED_CAP = 10
+
+
+def synth_detail_related_html(doc_id: Column) -> Column:
+    """Detail page with a related-links container: doc_id%5+8 anchors
+    over an 11-URL universe (n=12 ⇒ a wrap-around duplicate, n≥11 ⇒
+    the 10-link cap binds), plus one always-duplicated anchor and one
+    javascript: anchor the extractor must skip."""
+    n = (F.pmod(doc_id, 5) + 8).cast("int")
+    ds = doc_id.cast("string")
+
+    def anchor(i):
+        rel = F.pmod(doc_id * 3 + i, 11).cast("string")
+        return F.concat(
+            F.lit('<a href="/rel/'), rel, F.lit('">Rel '), ds,
+            F.lit(" "), i.cast("string"), F.lit("</a>"),
+        )
+
+    anchors = F.array_join(F.transform(F.sequence(F.lit(0), n - 1), anchor), "")
+    dup0 = F.concat(
+        F.lit('<a href="/rel/'), F.pmod(doc_id * 3, 11).cast("string"),
+        F.lit('">Rel dup</a>'),
+    )
+    return F.concat(
+        F.lit('<html><body><div class="related">'), anchors,
+        F.lit('<a href="javascript:void(0)">skip</a>'), dup0,
+        F.lit("</div></body></html>"),
+    )
+
+
+def sql_synth_detail_related_html(doc_id: str = "doc_id") -> str:
+    anchor = (
+        f"'<a href=\"/rel/' || (({doc_id} * 3 + i) % 11) || '\">Rel ' || "
+        f"{doc_id} || ' ' || i || '</a>'"
+    )
+    anchors = (
+        f"array_to_string(list_transform("
+        f"generate_series(0, ({doc_id} % 5 + 8)::INT - 1), i -> {anchor}), '')"
+    )
+    dup0 = f"('<a href=\"/rel/' || (({doc_id} * 3) % 11) || '\">Rel dup</a>')"
+    return (
+        f"('<html><body><div class=\"related\">' || {anchors} || "
+        f"'<a href=\"javascript:void(0)\">skip</a>' || {dup0} || "
+        f"'</div></body></html>')"
+    )
+
+
+def related_links(
+    pages: DataFrame, html_col: str = "html", cap: int = RELATED_CAP
+) -> DataFrame:
+    """(doc_id, rk, url, title): the page's related links after skip-
+    scheme filter, keep-first dedup, and the reference's cap of 10."""
+    from pyspark.sql import Window
+
+    html = F.col(html_col)
+    block = F.regexp_extract(html, RE_RELATED_BLOCK, 1)
+    urls = F.regexp_extract_all(block, F.lit(RE_A_HREF), 1)
+    titles = F.regexp_extract_all(block, F.lit(RE_A_TEXT), 1)
+    n = F.size(urls)
+    pairs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at(urls, i).alias("url"),
+                F.element_at(titles, i).alias("title"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<url:string,title:string>>"))
+    exploded = pages.select(
+        "doc_id", F.posexplode(pairs).alias("pos", "p")
+    ).select("doc_id", "pos", F.col("p.url").alias("url"), F.col("p.title").alias("title"))
+    exploded = exploded.filter(~F.col("url").rlike(SKIP_LINK_RE))
+    w_dedup = Window.partitionBy("doc_id", "url").orderBy("pos")
+    w_rank = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "rk", "url", "title")
+    )
+
+
+# -- D6: page-type detection from DOM (structure_discovery.py:213-267) -------
+
+RE_CARD = r'<div class="item"'
+RE_ARTICLE_CONTAINER = r'<div class="(content|article|post)">'
+
+
+def page_type_from_dom(html: Column) -> Column:
+    """≥3 repeated card elements → 'list'; article container, or one
+    h1 plus a >500-char text block → 'detail'; else 'generic'."""
+    cards = F.size(F.regexp_extract_all(html, F.lit(RE_CARD), 0))
+    has_article = html.rlike(RE_ARTICLE_CONTAINER)
+    h1s = F.size(F.regexp_extract_all(html, F.lit("<h1>"), 0))
+    big = F.length(clean_html(html)) > 500
+    return (
+        F.when(cards >= 3, F.lit("list"))
+        .when(has_article | ((h1s == 1) & big), F.lit("detail"))
+        .otherwise(F.lit("generic"))
+    )
+
+
+def sql_page_type_from_dom(html: str) -> str:
+    cards = f"len(regexp_extract_all({html}, '{RE_CARD}'))"
+    has_article = f"regexp_matches({html}, '{RE_ARTICLE_CONTAINER}')"
+    h1s = f"len(regexp_extract_all({html}, '<h1>'))"
+    big = f"(length({sql_clean_html(html)}) > 500)"
+    return (
+        f"(CASE WHEN {cards} >= 3 THEN 'list' "
+        f"WHEN {has_article} OR ({h1s} = 1 AND {big}) THEN 'detail' "
+        f"ELSE 'generic' END)"
+    )
 
 
 def selector_census(docs: DataFrame, html_col: str = "html") -> DataFrame:

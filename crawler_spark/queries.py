@@ -914,6 +914,110 @@ def c2_main_content(spark, sf_dir):
     )
 
 
+def c7_list_items(spark, sf_dir):
+    """C7: list pages (doc_id%3==0) → repeated item cards extracted as
+    array<struct<title,link,summary>> → posexplode."""
+    from .operators import content as C
+
+    d = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), 3) == 0)
+    html = C.synth_list_html(F.col("doc_id"))
+    return d.select(
+        "doc_id", F.posexplode(C.list_items(html)).alias("pos", "item")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("item.title").alias("title"),
+        F.col("item.link").alias("link"),
+        F.col("item.summary").alias("summary"),
+    )
+
+
+def _sql_c7() -> str:
+    from .operators import content as C
+
+    block = f"regexp_extract(html, '{C.RE_ITEMS_BLOCK}', 1)"
+    return f"""
+WITH pages AS (SELECT doc_id, {C.sql_synth_list_html()} AS html
+               FROM documents WHERE doc_id % 3 = 0),
+ex AS (SELECT doc_id,
+       regexp_extract_all({block}, '{C.RE_ITEM_TITLE}', 1) AS titles,
+       regexp_extract_all({block}, '{C.RE_ITEM_LINK}', 1) AS links,
+       regexp_extract_all({block}, '{C.RE_ITEM_SUMMARY}', 1) AS summaries
+       FROM pages),
+ex2 AS (SELECT doc_id, titles, links, summaries,
+        unnest(generate_series(1, len(titles))) AS i FROM ex)
+SELECT doc_id, (i - 1)::INT AS pos, titles[i] AS title, links[i] AS link,
+       summaries[i] AS summary
+FROM ex2
+"""
+
+
+def c8_related(spark, sf_dir):
+    """C8: detail pages (doc_id%3!=0) → related-container anchors →
+    skip-scheme filter → keep-first dedup → cap 10."""
+    from .operators import content as C
+
+    d = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), 3) != 0)
+    pages = d.select(
+        "doc_id", C.synth_detail_related_html(F.col("doc_id")).alias("html")
+    )
+    return C.related_links(pages)
+
+
+def _sql_c8() -> str:
+    from .operators import content as C
+
+    block = f"regexp_extract(html, '{C.RE_RELATED_BLOCK}', 1)"
+    return f"""
+WITH pages AS (SELECT doc_id, {C.sql_synth_detail_related_html()} AS html
+               FROM documents WHERE doc_id % 3 <> 0),
+ex AS (SELECT doc_id,
+       regexp_extract_all({block}, '{C.RE_A_HREF}', 1) AS urls,
+       regexp_extract_all({block}, '{C.RE_A_TEXT}', 1) AS titles
+       FROM pages),
+ex2 AS (SELECT doc_id, urls, titles,
+        unnest(generate_series(1, len(urls))) AS i FROM ex),
+ls AS (SELECT doc_id, i AS pos, urls[i] AS url, titles[i] AS title FROM ex2
+       WHERE NOT regexp_matches(urls[i], '{C.SKIP_LINK_RE}')),
+dd AS (SELECT *, row_number() OVER (PARTITION BY doc_id, url ORDER BY pos) AS rn
+       FROM ls),
+fst AS (SELECT doc_id, url, title, pos FROM dd WHERE rn = 1),
+cp AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+       FROM fst)
+SELECT doc_id, rk::INT AS rk, url, title FROM cp WHERE rk <= {C.RELATED_CAP}
+"""
+
+
+def d6_page_type(spark, sf_dir):
+    """D6: repeated-element census → list/detail/generic (the 2-card
+    list pages land in 'generic' — the <3-repeats branch is live)."""
+    from .operators import content as C
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0, C.synth_list_html(F.col("doc_id"))
+    ).otherwise(C.synth_html(F.col("doc_id"), F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html, F.lit(C.RE_CARD), 0)).alias("n_cards"),
+        C.page_type_from_dom(html).alias("page_type"),
+    )
+
+
+def _sql_d6() -> str:
+    from .operators import content as C
+
+    html_case = (
+        f"(CASE WHEN doc_id % 3 = 0 THEN {C.sql_synth_list_html()} "
+        f"ELSE {C.sql_synth_html()} END)"
+    )
+    return (
+        f"WITH pages AS (SELECT doc_id, {html_case} AS html FROM documents) "
+        f"SELECT doc_id, len(regexp_extract_all(html, '{C.RE_CARD}'))::INT AS n_cards, "
+        f"{C.sql_page_type_from_dom('html')} AS page_type FROM pages"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML-feature family
 # ---------------------------------------------------------------------------
@@ -1111,6 +1215,9 @@ REGISTRY: dict[str, tuple] = {
     # content extraction
     "c_extract": (c_extract, _sql_c_extract()),
     "c2_main_content": (c2_main_content, None),
+    "c7_list_items": (c7_list_items, _sql_c7()),
+    "c8_related": (c8_related, _sql_c8()),
+    "d6_page_type": (d6_page_type, _sql_d6()),
     # ML features
     "m1_tfidf_top3": (m1_tfidf_top3, _sql_m1()),
     # text
