@@ -90,29 +90,52 @@ def tfidf_pipeline(vocab_size: int = 5000, min_df: int = 2):
     return Pipeline(stages=[tok, cv, idf])
 
 
+def _char_count(t, pattern: str):
+    return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))).cast("double")
+
+
 def structural_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """M3/M4: 6 structural features as pure columns."""
+    """M4: the reference's FULL 12 structural features as pure columns
+    (ml/features.py:554-677): length, word/sentence/paragraph counts,
+    avg word/sentence lengths, punct/upper/digit/unique ratios, and
+    the Persian-؟ / ! counts. All JVM-side, codegen'd; the per-batch
+    max-normalization lives in `m4_structural` (scalar-agg join —
+    one treeAggregate pass, no global window)."""
     t = F.col(text_col)
-    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
-    sentences = F.size(F.filter(F.split(t, r"[.!?]"), lambda s: F.trim(s) != ""))
+    words_arr = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words = F.size(words_arr)
+    sentences = F.size(F.filter(F.split(t, r"[.!?؟]"), lambda s: F.trim(s) != ""))
+    paragraphs = F.size(F.filter(F.split(t, r"\n\s*\n"), lambda p: F.trim(p) != ""))
+    n = F.length(t)
     return df.withColumns(
         {
-            "f_len": (F.length(t) / 1000.0),
+            "f_len": (n / 1000.0),
             "f_words": words.cast("double"),
             "f_sentences": sentences.cast("double"),
-            "f_avg_word": F.when(words > 0, F.length(t) / words).otherwise(0.0),
-            "f_qmarks": (
-                F.length(t) - F.length(F.regexp_replace(t, r"\?", ""))
-            ).cast("double"),
-            "f_digit_ratio": F.when(
-                F.length(t) > 0,
-                (F.length(t) - F.length(F.regexp_replace(t, r"\d", ""))) / F.length(t),
+            "f_paragraphs": paragraphs.cast("double"),
+            "f_avg_word": F.when(words > 0, n / words).otherwise(0.0),
+            "f_avg_sentence": F.when(
+                sentences > 0, words.cast("double") / sentences
             ).otherwise(0.0),
+            "f_punct_ratio": F.when(
+                n > 0, _char_count(t, r"[^\w\s]") / n
+            ).otherwise(0.0),
+            "f_upper_ratio": F.when(n > 0, _char_count(t, "[A-Z]") / n).otherwise(0.0),
+            "f_digit_ratio": F.when(n > 0, _char_count(t, r"\d") / n).otherwise(0.0),
+            "f_unique_ratio": F.when(
+                words > 0, F.size(F.array_distinct(words_arr)).cast("double") / words
+            ).otherwise(0.0),
+            "f_qmarks": _char_count(t, r"[?؟]"),
+            "f_exclaims": _char_count(t, "!"),
         }
     )
 
 
-STRUCTURAL_COLS = ["f_len", "f_words", "f_sentences", "f_avg_word", "f_qmarks", "f_digit_ratio"]
+STRUCTURAL_COLS = [
+    "f_len", "f_words", "f_sentences", "f_paragraphs", "f_avg_word",
+    "f_avg_sentence", "f_punct_ratio", "f_upper_ratio", "f_digit_ratio",
+    "f_unique_ratio", "f_qmarks", "f_exclaims",
+]
 
 
 def classifier_pipeline(num_classes: int = 4):
@@ -162,6 +185,229 @@ def predict_content_type(model, docs: DataFrame, text_col: str = "text") -> Data
             "predicted_class"
         ),
         F.round(F.array_max(vector_to_array("probability")), 6).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — multi-label domain classifier (one-vs-rest)
+# ---------------------------------------------------------------------------
+#
+# Reference (core/classifier.py:138-249): OneVsRest over the legal
+# domains; predict returns the labels where ŷᵢ=1 plus per-label
+# probabilities sorted descending. pyspark.ml's OneVsRest is argmax
+# single-label, so true multi-label OvR is expressed directly: one
+# binary LogisticRegression per domain over a SHARED feature transform
+# (featurize once, N cheap heads — the 100 TB shape, since the TF-IDF
+# pass dominates and runs a single time).
+
+DOMAIN_KEYWORDS = {
+    "family": ["marriage", "divorce", "custody", "dowry", "spouse", "alimony"],
+    "criminal": ["crime", "penalty", "theft", "verdict", "prison", "felony"],
+    "commercial": ["contract", "company", "cheque", "trade", "bankruptcy", "share"],
+    "civil": ["property", "deed", "inheritance", "tenant", "damages", "ownership"],
+}
+
+
+def synthetic_multilabel_corpus(spark: SparkSession, n_samples: int = 400) -> DataFrame:
+    """Deterministic corpus where ~1/3 of samples carry TWO domains —
+    (sample_id, text, labels array<string> sorted)."""
+    from .functions.url import hash60
+
+    domains = list(DOMAIN_KEYWORDS)
+    nd = len(domains)
+    base = spark.range(n_samples).select(F.col("id").alias("sample_id"))
+    h = hash60(F.concat(F.lit("ml:"), F.col("sample_id").cast("string")))
+    d1 = F.pmod(h, nd)
+    d2 = F.pmod(F.shiftright(h, 7), nd)
+    two = (F.pmod(F.shiftright(h, 17), 3) == 0) & (d1 != d2)
+    dom_arr = F.array(*[F.lit(d) for d in domains])
+    name1 = F.element_at(dom_arr, (d1 + 1).cast("int"))
+    name2 = F.element_at(dom_arr, (d2 + 1).cast("int"))
+    labels = F.array_sort(
+        F.when(two, F.array(name1, name2)).otherwise(F.array(name1))
+    )
+
+    def words_for(didx, shift, count):
+        out = []
+        for i in range(count):
+            kw_arr = F.array(
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(k) for k in DOMAIN_KEYWORDS[d]]),
+                        (F.pmod(F.shiftright(h, shift + 3 * i), 6) + 1).cast("int"),
+                    )
+                    for d in domains
+                ]
+            )
+            out.append(F.element_at(kw_arr, (didx + 1).cast("int")))
+        return out
+
+    w1 = words_for(d1, 20, 5)
+    w2 = [F.when(two, w).otherwise(F.lit("")) for w in words_for(d2, 37, 5)]
+    filler = F.element_at(
+        F.array(*[F.lit(s) for s in STOPWORDS[:8]]), (F.pmod(h, 8) + 1).cast("int")
+    )
+    text = F.concat_ws(" ", filler, *w1, *w2)
+    return base.select(
+        "sample_id", F.trim(F.regexp_replace(text, r"\s+", " ")).alias("text"),
+        labels.alias("labels"),
+    )
+
+
+def train_domain_classifier(spark: SparkSession, n_samples: int = 400):
+    """M6+M9: fit the shared featurizer once, then one binary LR head
+    per domain. Returns (feature_model, {domain: lr_model})."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    corpus = structural_features(synthetic_multilabel_corpus(spark, n_samples))
+    feats = Pipeline(
+        stages=[
+            *tfidf_pipeline().getStages(),
+            VectorAssembler(inputCols=["tfidf"] + STRUCTURAL_COLS, outputCol="features"),
+        ]
+    ).fit(corpus)
+    train = feats.transform(corpus).select("sample_id", "labels", "features").cache()
+    heads = {}
+    for dom in DOMAIN_KEYWORDS:
+        labeled = train.withColumn(
+            "label", F.array_contains("labels", dom).cast("double")
+        )
+        heads[dom] = LogisticRegression(
+            featuresCol="features", labelCol="label", maxIter=30, regParam=0.01
+        ).fit(labeled)
+    train.unpersist()
+    return feats, heads
+
+
+def predict_domains(
+    feature_model, heads: dict, docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """M6 predict surface: (id, domains array<string>, probs) — labels
+    where p>threshold, sorted by probability descending (classifier.py:
+    200-249 semantics). One feature pass + N head transforms."""
+    from pyspark.ml.functions import vector_to_array
+
+    pred = feature_model.transform(structural_features(docs))
+    prob_cols = []
+    for dom, model in heads.items():
+        m = (
+            model.copy()
+            .setPredictionCol(f"__p_{dom}")
+            .setProbabilityCol(f"__prob_{dom}")
+            .setRawPredictionCol(f"__raw_{dom}")
+        )
+        pred = m.transform(pred)
+        prob_cols.append(
+            F.struct(
+                F.round(vector_to_array(f"__prob_{dom}")[1], 6).alias("p"),
+                F.lit(dom).alias("domain"),
+            )
+        )
+    scored = F.reverse(F.array_sort(F.array(*prob_cols)))
+    keep = F.filter(scored, lambda s: s["p"] > threshold)
+    id_cols = [c for c in ("sample_id", "doc_id") if c in docs.columns]
+    return pred.select(
+        *id_cols,
+        F.transform(keep, lambda s: s["domain"]).alias("domains"),
+        F.transform(scored, lambda s: s["p"]).alias("probs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10 — incremental model update (the partial_fit seam)
+# ---------------------------------------------------------------------------
+#
+# Reference (utils/ml.py:109-133): partial_fit for incremental model
+# updates. LogisticRegression can't merge, but a multinomial Naive
+# Bayes over token counts can — EXACTLY: the sufficient statistics are
+# additive count tables, so update(counts, new_batch) ≡ fit(old ∪ new)
+# row-for-row. The count table is a DataFrame (scales; merge is a
+# union + re-aggregate with map-side partials).
+
+_DOC_MARK = "__doc__"
+
+
+def nb_fit(docs: DataFrame, text_col: str = "text", label_col: str = "label_str") -> DataFrame:
+    """Sufficient statistics: (label, term, n) token counts, plus one
+    (label, '__doc__', n_docs) row per label."""
+    tok = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")).alias("term"),
+    )
+    terms = tok.groupBy("label", "term").agg(F.count(F.lit(1)).alias("n"))
+    docs_n = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("term", F.lit(_DOC_MARK)).select("label", "term", "n")
+    return terms.unionByName(docs_n)
+
+
+def nb_update(counts: DataFrame, new_docs: DataFrame, **kw) -> DataFrame:
+    """partial_fit: merge new sufficient statistics — exact (additive)."""
+    return (
+        counts.unionByName(nb_fit(new_docs, **kw))
+        .groupBy("label", "term")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def nb_predict(counts: DataFrame, docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, predicted_label): argmax over log P(l) + Σ log P(t|l) with
+    add-1 smoothing. Shape: explode tokens once, join the (broadcast-
+    able) count table, aggregate per (doc, label); unseen terms enter
+    through the closed-form (n_tokens − seen) × log(1/(total+V))."""
+    doc_rows = counts.filter(F.col("term") == _DOC_MARK).select(
+        "label", F.col("n").alias("n_docs")
+    )
+    term_counts = counts.filter(F.col("term") != _DOC_MARK)
+    totals = term_counts.groupBy("label").agg(F.sum("n").alias("total"))
+    vocab_n = term_counts.select("term").distinct().count()
+    label_dim = F.broadcast(
+        doc_rows.join(totals, "label").withColumn(
+            "log_prior",
+            F.log(F.col("n_docs"))  # shared denominator cancels in argmax
+        )
+    )
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")).alias("term"),
+    )
+    per_doc = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_tok = per_doc.groupBy("id").agg(F.sum("tf").alias("n_tokens"))
+
+    seen = (
+        per_doc.join(term_counts, "term")
+        .groupBy("id", "label")
+        .agg(
+            F.sum(F.col("tf") * F.log(F.col("n") + 1)).alias("seen_num"),
+            F.sum("tf").alias("seen_tf"),
+        )
+    )
+    # cross every doc with every label so zero-overlap labels still score
+    scored = (
+        n_tok.crossJoin(F.broadcast(label_dim.select("label")))
+        .join(seen, ["id", "label"], "left")
+        .join(label_dim, "label")
+        .withColumn(
+            # unseen terms contribute tf·log(0+1) = 0, so only the
+            # shared −n_tokens·log(total+V) denominator and the seen
+            # numerator survive
+            "score",
+            F.col("log_prior")
+            + F.coalesce(F.col("seen_num"), F.lit(0.0))
+            - F.col("n_tokens") * F.log(F.col("total") + vocab_n),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("id").alias(id_col), F.col("label").alias("predicted_label"))
     )
 
 

@@ -1053,6 +1053,64 @@ def m1_tfidf_top3(spark, sf_dir):
     )
 
 
+def m4_structural(spark, sf_dir):
+    """M4: the full 12-feature structural vector per document, plus the
+    reference's per-batch max-normalization shape for f_len (scalar agg
+    + broadcast cross join — one treeAggregate, no global window)."""
+    from . import ml as ML
+
+    d = _t(spark, sf_dir, "documents")
+    feats = ML.structural_features(d).select(
+        "doc_id", *[F.round(F.col(c), 6).alias(c) for c in ML.STRUCTURAL_COLS]
+    )
+    mx = feats.agg(F.max("f_len").alias("__max_len"))
+    return (
+        feats.crossJoin(F.broadcast(mx))
+        .withColumn("f_len_norm", F.round(F.col("f_len") / F.col("__max_len"), 6))
+        .drop("__max_len")
+    )
+
+
+def _sql_m4() -> str:
+    words = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
+    sents = r"list_filter(string_split_regex(text, '[.!?؟]'), s -> trim(s) <> '')"
+    paras = r"list_filter(string_split_regex(text, '\n\s*\n'), p -> trim(p) <> '')"
+
+    def cc(pat):
+        return f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+
+    # precomputed: f-string expressions cannot contain backslashes (<py3.12)
+    cc_punct = cc(r"[^\w\s]")
+    cc_upper = cc("[A-Z]")
+    cc_digit = cc(r"\d")
+    cc_qmark = cc("[?؟]")
+    cc_excl = cc("!")
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, length(text) AS n, {words} AS words,
+         len({sents}) AS n_sents, len({paras}) AS n_paras
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    round(n / 1000.0, 6) AS f_len,
+    round(len(words)::DOUBLE, 6) AS f_words,
+    round(n_sents::DOUBLE, 6) AS f_sentences,
+    round(n_paras::DOUBLE, 6) AS f_paragraphs,
+    round(CASE WHEN len(words) > 0 THEN n::DOUBLE / len(words) ELSE 0.0 END, 6) AS f_avg_word,
+    round(CASE WHEN n_sents > 0 THEN len(words)::DOUBLE / n_sents ELSE 0.0 END, 6) AS f_avg_sentence,
+    round(CASE WHEN n > 0 THEN {cc_punct}::DOUBLE / n ELSE 0.0 END, 6) AS f_punct_ratio,
+    round(CASE WHEN n > 0 THEN {cc_upper}::DOUBLE / n ELSE 0.0 END, 6) AS f_upper_ratio,
+    round(CASE WHEN n > 0 THEN {cc_digit}::DOUBLE / n ELSE 0.0 END, 6) AS f_digit_ratio,
+    round(CASE WHEN len(words) > 0 THEN len(list_distinct(words))::DOUBLE / len(words) ELSE 0.0 END, 6) AS f_unique_ratio,
+    round({cc_qmark}::DOUBLE, 6) AS f_qmarks,
+    round({cc_excl}::DOUBLE, 6) AS f_exclaims
+  FROM w
+)
+SELECT f.*, round(f_len / mx, 6) AS f_len_norm
+FROM f CROSS JOIN (SELECT max(round(length(text) / 1000.0, 6)) AS mx FROM documents)
+"""
+
+
 def _sql_m1() -> str:
     toks = TX.sql_tokens("text")
     return f"""
@@ -1220,6 +1278,7 @@ REGISTRY: dict[str, tuple] = {
     "d6_page_type": (d6_page_type, _sql_d6()),
     # ML features
     "m1_tfidf_top3": (m1_tfidf_top3, _sql_m1()),
+    "m4_structural": (m4_structural, _sql_m4()),
     # text
     "t_tokens": (t_tokens, SQL_T_TOKENS),
     "t_quality": (t_quality, SQL_T_QUALITY),

@@ -295,3 +295,115 @@ def test_model_save_load_m10(spark, tmp_path):
     a = ml.predict_content_type(model, docs).collect()[0]
     b = ml.predict_content_type(loaded, docs).collect()[0]
     assert a.predicted_class == b.predicted_class
+
+
+# -- M6 multi-label domain classifier ---------------------------------------
+
+
+def test_multilabel_domain_classifier(spark):
+    from crawler_spark import ml
+
+    feats, heads = ml.train_domain_classifier(spark, n_samples=300)
+    corpus = ml.synthetic_multilabel_corpus(spark, 300)
+    pred = ml.predict_domains(feats, heads, corpus)
+    joined = corpus.join(pred, "sample_id").select("labels", "domains").collect()
+    # exact-set recovery on the training distribution must be high;
+    # every true label must appear in the predicted set almost always
+    exact = sum(sorted(r.domains) == list(r.labels) for r in joined) / len(joined)
+    recall = sum(
+        all(l in r.domains for l in r.labels) for r in joined
+    ) / len(joined)
+    assert recall > 0.9, recall
+    assert exact > 0.8, exact
+    # multi-label rows exist and get >1 predicted domain
+    multi = [r for r in joined if len(r.labels) == 2]
+    assert multi, "corpus must contain 2-domain samples"
+    assert sum(len(r.domains) >= 2 for r in multi) / len(multi) > 0.7
+    # probabilities are sorted descending
+    probs = pred.select("probs").first().probs
+    assert probs == sorted(probs, reverse=True)
+
+
+# -- M10 incremental update (partial_fit seam) ------------------------------
+
+
+def test_nb_incremental_update_exact(spark):
+    from crawler_spark import ml
+
+    corpus = ml.synthetic_labeled_corpus(spark, n_per_class=40)
+    b1 = corpus.filter(F.col("sample_id") % 2 == 0)
+    b2 = corpus.filter(F.col("sample_id") % 2 == 1)
+    inc = ml.nb_update(ml.nb_fit(b1), b2)
+    full = ml.nb_fit(corpus)
+    # partial_fit ≡ full fit: the sufficient statistics are identical
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # and the classifier they induce recovers the classes
+    docs = corpus.select(F.col("sample_id").alias("doc_id"), "text", "label_str")
+    pred = ml.nb_predict(inc, docs)
+    hit = (
+        pred.join(docs, "doc_id")
+        .select((F.col("predicted_label") == F.col("label_str")).cast("int").alias("h"))
+        .agg(F.avg("h"))
+        .first()[0]
+    )
+    assert hit > 0.95, hit
+
+
+# -- C7/C8/D6 content operators ---------------------------------------------
+
+
+def test_list_items_and_related_links(spark):
+    from crawler_spark.operators import content as C
+
+    d = spark.range(9, 15).select(F.col("id").alias("doc_id"))
+    items = d.select(
+        "doc_id", F.size(C.list_items(C.synth_list_html(F.col("doc_id")))).alias("n")
+    ).collect()
+    for r in items:
+        assert r.n == r.doc_id % 4 + 2, r  # one struct per card
+
+    pages = d.select(
+        "doc_id", C.synth_detail_related_html(F.col("doc_id")).alias("html")
+    )
+    rel = C.related_links(pages)
+    got = rel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("nd")
+    ).collect()
+    for r in got:
+        assert r.n == r.nd, "dedup must leave distinct urls"
+        assert r.n <= C.RELATED_CAP
+    urls = [r.url for r in rel.collect()]
+    assert all(not u.startswith("javascript:") for u in urls)
+
+
+def test_page_type_from_dom(spark):
+    from crawler_spark.operators import content as C
+
+    d = spark.range(0, 12).select(F.col("id").alias("doc_id"), F.lit("x " * 400).alias("text"))
+    html = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0, C.synth_list_html(F.col("doc_id"))
+    ).otherwise(C.synth_html(F.col("doc_id"), F.col("text")))
+    got = {r.doc_id: r.t for r in d.select(
+        "doc_id", C.page_type_from_dom(html).alias("t")).collect()}
+    assert got[3] == "list"      # doc 3: 3%4+2 = 5 cards
+    assert got[0] == "generic"   # doc 0: 0%4+2 = 2 cards -> not enough repeats
+    assert got[1] == "detail"    # content container present
+
+
+# -- C9 Persian normalization ------------------------------------------------
+
+
+def test_fa_normalize_and_tokens(spark):
+    from crawler_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("قانوني وكيل محكمة ٣٤٥  می‌شود حقوقِ",)], "t string"
+    )
+    row = df.select(
+        TX.fa_normalize(F.col("t")).alias("n"),
+        TX.fa_tokens(F.col("t")).alias("toks"),
+    ).first()
+    assert row.n == "قانونی وکیل محکمه 345 می شود حقوق"
+    # می/شود are stop words; the rest survive per-occurrence
+    assert row.toks == ["قانونی", "وکیل", "محکمه", "345", "حقوق"]
