@@ -26,9 +26,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 from . import fixtures as fx
 from .functions.url import canonicalize, engine_hash, host_bucket, url_host
@@ -36,7 +35,7 @@ from .operators import admission, fetch as fetch_op, schedule
 from .operators.jobtype import job_type
 from .operators.priority import priority_score
 from .state.bloom import BloomSeenSet
-from .state.snapshots import FRONTIER_SCHEMA, SnapshotStore
+from .state.snapshots import METRICS_SCHEMA, SnapshotStore
 
 
 @dataclass
@@ -108,16 +107,6 @@ def emit_links(fetched_ok: DataFrame) -> DataFrame:
     return out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def _safe_obs(obs: Observation):
-    """Observation.get raises on degenerate (empty-input) plans where
-    the observe node never materialized — treat as unknown."""
-    try:
-        got = obs.get
-        return got.get("candidates") if got else None
-    except Exception:
-        return None
-
-
 def run_epoch(
     spark: SparkSession,
     store: SnapshotStore,
@@ -125,6 +114,20 @@ def run_epoch(
     cfg: EpochConfig,
     robots_rules: DataFrame | None = None,
 ) -> dict:
+    """One scheduling epoch = 5 Spark jobs (was 8 in round 1 — the
+    per-epoch fixed cost is the scaling-efficiency denominator):
+
+      1. fetch + payload write   (the only execution of the fetch UDF)
+      2. failed-state write      ┐ threaded — planning/commit overlap
+      3. frontier-delta write    ┘
+      4. metrics aggregation     (ONE action collecting num_buckets
+         rows: per-bucket candidates/admitted/selected/ok/fail/new —
+         the full per-partition lineage the north rule asks for)
+      5. metrics write           (driver-local rows — trivial job)
+
+    ``visited`` is never written: it is a pruned VIRTUAL projection of
+    the fetched payload table (snapshots.VIRTUAL_FROM_FETCHED), so the
+    round-1 visited-delta write job is gone entirely."""
     t0 = time.time()
     visited = store.read_upto("visited", epoch - 1).select("url_hash")
     failed_prev = store.read_upto("failed", epoch - 1)
@@ -141,9 +144,6 @@ def run_epoch(
         .drop("attempts")
     )
     candidates = dedup_candidates(fresh.unionByName(retries))
-
-    obs = Observation("admission")
-    candidates = candidates.observe(obs, F.count(F.lit(1)).alias("candidates"))
 
     bloom = None
     if cfg.use_bloom:
@@ -180,7 +180,6 @@ def run_epoch(
     ok = fetched.filter(F.col("status") == 200)
     fail = fetched.filter(F.col("status") != 200)
 
-    visited_delta = ok.select("url_hash", "url_canon", "host", "status", "depth", "priority")
     failed_cols = ["url_hash", "url_canon", "host", "depth", "parent_url", "attempts", "last_status"]
     failed_state = failed_prev.select(*failed_cols).join(
         fetched.select("url_hash"), "url_hash", "left_anti"
@@ -190,14 +189,13 @@ def run_epoch(
             F.col("attempt").alias("attempts"), F.col("status").alias("last_status"),
         )
     )
-    # the three light derivations are independent — submit them from
+    # the two light derivations are independent — submit them from
     # threads so their (serial, driver-bound) planning+commit overlaps;
     # Spark's scheduler interleaves the jobs freely
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(store.write_table, epoch, "visited", visited_delta, True),
             pool.submit(store.write_table, epoch, "failed", failed_state, True),
             pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
         ]
@@ -205,47 +203,59 @@ def run_epoch(
             f.result()
     frontier_delta = store.read_table(epoch, "frontier")
 
-    bucket = host_bucket(F.col("host"), cfg.num_buckets)
+    # --- per-partition lineage (F15): ONE job unions four per-bucket
+    # aggregates. candidates/admitted re-derive the (cheap, columnar)
+    # admission plan — pruned scans + the anti-join, never the fetch
+    # UDF — so the lineage columns carry REAL counts at bucket grain.
+    def by_bucket(df, name):
+        return df.groupBy(
+            host_bucket(F.col("host"), cfg.num_buckets).alias("host_bucket")
+        ).agg(F.count(F.lit(1)).alias(name))
+
     metrics = (
-        fetched.groupBy(bucket.alias("host_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("selected"),
-            F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
-            F.sum((F.col("status") != 200).cast("long")).alias("fetched_fail"),
-        )
+        by_bucket(candidates, "candidates")
+        .join(by_bucket(admitted, "admitted"), "host_bucket", "full_outer")
         .join(
-            frontier_delta.groupBy(
+            fetched.groupBy(
                 host_bucket(F.col("host"), cfg.num_buckets).alias("host_bucket")
             ).agg(
-                F.count(F.lit(1)).alias("new_frontier")
+                F.count(F.lit(1)).alias("selected"),
+                F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+                F.sum((F.col("status") != 200).cast("long")).alias("fetched_fail"),
             ),
             "host_bucket",
             "full_outer",
         )
-        .withColumn("candidates", F.lit(None).cast("long"))
-        .withColumn("admitted", F.lit(None).cast("long"))
+        .join(by_bucket(frontier_delta, "new_frontier"), "host_bucket", "full_outer")
         .select(
-            "host_bucket", "candidates", "admitted",
-            F.coalesce("selected", F.lit(0)).alias("selected"),
-            F.coalesce("fetched_ok", F.lit(0)).alias("fetched_ok"),
-            F.coalesce("fetched_fail", F.lit(0)).alias("fetched_fail"),
-            F.coalesce("new_frontier", F.lit(0)).alias("new_frontier"),
+            "host_bucket",
+            *[
+                F.coalesce(c, F.lit(0)).alias(c)
+                for c in (
+                    "candidates", "admitted", "selected",
+                    "fetched_ok", "fetched_fail", "new_frontier",
+                )
+            ],
         )
     )
-    store.write_table(epoch, "metrics", metrics, rebalance=True)
-    # one tiny collect (num_buckets rows) supplies the epoch stats —
-    # no extra count() actions over the payload
-    mrows = store.read_table(epoch, "metrics").collect()
+    # one tiny collect (num_buckets rows) is BOTH the epoch stats and
+    # the metrics write source — the write becomes a driver-local job
+    # instead of a second cluster aggregation
+    mrows = metrics.collect()
+    store.write_table(
+        epoch, "metrics", spark.createDataFrame(mrows, METRICS_SCHEMA)
+    )
     stats = {
         "epoch": epoch,
+        "candidates": int(sum(r.candidates for r in mrows)),
+        "admitted": int(sum(r.admitted for r in mrows)),
         "selected": int(sum(r.selected for r in mrows)),
         "fetched_ok": int(sum(r.fetched_ok for r in mrows)),
         "fetched_fail": int(sum(r.fetched_fail for r in mrows)),
-        "candidates": _safe_obs(obs),
         "wall_ms": int((time.time() - t0) * 1000),
     }
     store.commit_epoch(
-        epoch, ["fetched", "visited", "failed", "frontier", "metrics"], stats
+        epoch, ["fetched", "failed", "frontier", "metrics"], stats
     )
     return stats
 
@@ -348,7 +358,7 @@ def run_crawl(
                 store.write_table(epoch, "frontier", seeds_to_frontier(seeds), rebalance=True)
                 store.commit_epoch(
                     epoch,
-                    ["fetched", "visited", "failed", "frontier", "metrics"],
+                    ["fetched", "failed", "frontier", "metrics"],
                     {**stats, "reseeded": True},
                 )
             else:

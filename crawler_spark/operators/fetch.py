@@ -88,13 +88,15 @@ def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out["caption"] = captions
         out["phash"] = pd.array(phashes, dtype="Int64")
         out["ua_index"] = (uhs % USER_AGENTS).astype("int32")
+        out["method"] = pdf["method"]
         yield out
 
 
 FETCH_SCHEMA = (
     "url_canon string, url_hash long, host string, depth int, parent_url string,"
     " attempt int, priority int, status int, image_id string, bytes binary,"
-    " w int, h int, fmt string, caption string, phash long, ua_index int"
+    " w int, h int, fmt string, caption string, phash long, ua_index int,"
+    " method string"
 )
 
 
@@ -103,15 +105,25 @@ def fetch(
     num_partitions: int | None = None,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Fetch the selected rows; salted-by-host repartition (skew split)."""
+    """Fetch the selected rows; salted-by-host repartition (skew split).
+
+    A6 (http.py:410-466): ``method`` = POST for 'api'-type jobs, GET
+    otherwise — the column rides the same UDF seam (a real HTTP
+    fetcher dispatches requests.get/post on it)."""
     df = selected
     if "attempt" not in df.columns:
         df = df.withColumn("attempt", F.lit(1))
     if "priority" not in df.columns:
         df = df.withColumn("priority", F.lit(0))
+    if "job_type" in df.columns:
+        method = F.when(F.col("job_type") == "api", F.lit("POST")).otherwise(F.lit("GET"))
+    else:
+        method = F.lit("GET")
+    df = df.withColumn("method", method)
     df = df.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"))
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     df = df.repartition(int(nparts), "host", "__salt").drop("__salt")
     return df.select(
-        "url_canon", "url_hash", "host", "depth", "parent_url", "attempt", "priority"
+        "url_canon", "url_hash", "host", "depth", "parent_url", "attempt",
+        "priority", "method"
     ).mapInPandas(_fetch_batches, schema=FETCH_SCHEMA)

@@ -105,3 +105,24 @@ def simple_priority(depth: Column, job_type: Column, url: Column) -> Column:
         - F.when(job_type == "detail", 10).otherwise(0)
         - F.when(imp, 5).otherwise(0)
     )
+
+
+def sql_simple_priority(depth: str, job_type: str, url: str) -> str:
+    """DuckDB mirror of F4b (same constants)."""
+    imp = " OR ".join(f"contains({url}, '{p}')" for p in IMPORTANT_PATTERNS)
+    return (
+        f"({depth} * 10 - (CASE WHEN {job_type} = 'list' THEN 20 ELSE 0 END) "
+        f"- (CASE WHEN {job_type} = 'detail' THEN 10 ELSE 0 END) "
+        f"- (CASE WHEN ({imp}) THEN 5 ELSE 0 END))"
+    )
+
+
+def py_simple_priority(depth: int, job_type: str, url: str) -> int:
+    """Python mirror for the parity simulator."""
+    imp = any(p in url for p in IMPORTANT_PATTERNS)
+    return (
+        depth * 10
+        - (20 if job_type == "list" else 0)
+        - (10 if job_type == "detail" else 0)
+        - (5 if imp else 0)
+    )

@@ -115,6 +115,37 @@ SQL_F4 = (
 )
 
 
+def f4b_simple_priority(spark, sf_dir):
+    """F4b: the smart-loop simplified priority (smart_crawler.py:
+    629-661) — k%6 rows get an important-pattern segment appended so
+    the pattern bonus branch is live in both dialects."""
+    from .operators.priority import simple_priority
+
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    url_aug = F.when(
+        F.pmod(F.col("k"), 6) == 0, F.concat(F.col("url_canon"), F.lit("/faq/"))
+    ).otherwise(F.col("url_canon"))
+    jt = job_type(url_aug)
+    return cand.select(
+        "k",
+        url_aug.alias("url"),
+        jt.alias("job_type"),
+        simple_priority(F.col("depth"), jt, url_aug).alias("priority"),
+    )
+
+
+def _sql_f4b() -> str:
+    from .operators.priority import sql_simple_priority
+
+    url_aug = "(CASE WHEN k % 6 = 0 THEN url_canon || '/faq/' ELSE url_canon END)"
+    jt = sql_job_type(url_aug)
+    return (
+        f"SELECT k, {url_aug} AS url, {jt} AS job_type, "
+        f"{sql_simple_priority('depth', jt, url_aug)} AS priority "
+        f"FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL"
+    )
+
+
 def f3_schedule(spark, sf_dir):
     """F3+F8: per-host politeness slots, window rank, global top-K —
     the distributed priority-queue pop."""
@@ -194,6 +225,28 @@ SELECT host, count(*) AS selected,
        sum(CASE WHEN k % {R.FAIL_MOD} = 0 THEN 1 ELSE 0 END)::BIGINT AS fetched_fail,
        min(url_hash) AS min_url_hash
 FROM ({SQL_CANDIDATES}) WHERE url_canon IS NOT NULL GROUP BY host
+"""
+
+
+def f15_lineage(spark, sf_dir):
+    """F15 lineage shape: per-host candidates vs admitted counts — the
+    non-null admission lineage the metrics table carries per epoch
+    (relational mirror of epoch.run_epoch's metrics job)."""
+    cand = R.candidates_df(spark, sf_dir).filter(F.col("url_canon").isNotNull())
+    adm = f2_admission(spark, sf_dir)
+    c = cand.groupBy("host").agg(F.count(F.lit(1)).alias("candidates"))
+    a = adm.groupBy("host").agg(F.count(F.lit(1)).alias("admitted"))
+    return c.join(a, "host", "left").select(
+        "host", "candidates", F.coalesce("admitted", F.lit(0)).alias("admitted")
+    )
+
+
+SQL_F15_LINEAGE = f"""
+WITH c AS (SELECT host, count(*) AS candidates FROM ({SQL_CANDIDATES})
+           WHERE url_canon IS NOT NULL GROUP BY host),
+a AS (SELECT host, count(*) AS admitted FROM ({SQL_ADMITTED}) GROUP BY host)
+SELECT c.host, c.candidates, coalesce(a.admitted, 0) AS admitted
+FROM c LEFT JOIN a ON c.host = a.host
 """
 
 
@@ -1246,9 +1299,11 @@ REGISTRY: dict[str, tuple] = {
     "f2_admission": (f2_admission, SQL_F2),
     "f3_schedule": (f3_schedule, SQL_F3),
     "f4_priority": (f4_priority, SQL_F4),
+    "f4b_simple_priority": (f4b_simple_priority, _sql_f4b()),
     "f7_retry": (f7_retry, SQL_F7),
     "f11_link_emit": (f11_link_emit, _sql_f11()),
     "f15_metrics": (f15_metrics, SQL_F15),
+    "f15_lineage": (f15_lineage, SQL_F15_LINEAGE),
     # classical relational
     "q1_pricing": (q1_pricing, SQL_Q1),
     "q3_topk_revenue": (q3_topk_revenue, SQL_Q3),

@@ -29,6 +29,17 @@ SLOTS = 4
 MAX_KICKS = 500
 
 
+class CuckooOverfullError(RuntimeError):
+    """Raised when an insert cannot be placed (filter over capacity).
+
+    A failed kick chain not only drops the new key — the evicted victim
+    fingerprint is lost too, so earlier inserts can silently become
+    false negatives, violating the module contract ('false negatives
+    cannot happen'). Inserts are therefore STRICT by default: resize
+    with ``for_keys(n_keys)`` and rebuild rather than continuing with a
+    corrupt filter."""
+
+
 def _fingerprint(keys: np.ndarray) -> np.ndarray:
     """16-bit nonzero fingerprint — multiplicative mix of the whole
     key (a plain bit-slice degenerates to constant fingerprints for
@@ -95,13 +106,22 @@ class CuckooSeenSet:
                 return True
         return False  # filter over-full
 
-    def insert(self, keys: np.ndarray) -> int:
+    def insert(self, keys: np.ndarray, strict: bool = True) -> int:
+        """Insert keys; returns the failure count (always 0 when
+        strict). strict=True (default) raises CuckooOverfullError on
+        the first placement failure instead of silently dropping keys
+        (and corrupting a kicked victim)."""
         keys = np.asarray(keys, dtype=np.int64)
         fs = _fingerprint(keys)
         i1 = self._i1(keys)
         failed = 0
         for i, f in zip(i1, fs):
             if not self.insert_pair(int(i), int(f)):
+                if strict:
+                    raise CuckooOverfullError(
+                        f"cuckoo filter over-full at m={self.m} buckets — "
+                        f"resize with for_keys(expected_keys) and rebuild"
+                    )
                 failed += 1
         return failed
 
@@ -165,7 +185,11 @@ class CuckooSeenSet:
             flt.table = a.copy()
             bi, bs = np.nonzero(b)
             for i, s in zip(bi, bs):
-                flt.insert_pair(int(i), int(b[i, s]))
+                if not flt.insert_pair(int(i), int(b[i, s])):
+                    raise CuckooOverfullError(
+                        f"cuckoo merge over-full at m={m} buckets — "
+                        f"expected_keys underestimated; rebuild larger"
+                    )
             return flt.table
 
         part = df.select(key_col).rdd.mapPartitions(lambda it: [build_partition(it)])

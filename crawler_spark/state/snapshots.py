@@ -102,6 +102,7 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType()),
         T.StructField("phash", T.LongType()),
         T.StructField("ua_index", T.IntegerType()),
+        T.StructField("method", T.StringType()),
     ]
 )
 
@@ -116,6 +117,9 @@ SCHEMAS = {
 }
 # tables whose epoch=N dir is the COMPLETE state (not a delta)
 FULL_STATE_TABLES = {"failed"}
+# tables that are pruned projections of the write-once fetched payload
+# (status==200) unless an epoch explicitly committed them
+VIRTUAL_FROM_FETCHED = {"visited", "images"}
 
 
 class SnapshotStore:
@@ -204,36 +208,90 @@ class SnapshotStore:
     def _table_root(self, table: str) -> Path:
         return self.root / table
 
-    def read_upto(self, table: str, epoch: int | None = None) -> DataFrame:
-        """All committed rows of `table` at or before `epoch` (partition-
-        pruned). FULL_STATE tables return only the latest committed
-        epoch<=E. Uncommitted (post-manifest) epoch dirs are excluded."""
-        if epoch is None:
-            epoch = self.latest_epoch()
-        manifest = self._read_manifest()
-        if table == "images" and not any(
-            "images" in m["tables"] for m in manifest["epochs"].values()
-        ):
-            # virtual: images = successful rows of the fetched table —
-            # the payload parquet is written once; this projection is a
-            # pruned scan, never a second copy of the bytes
-            fetched = self.read_upto("fetched", epoch)
-            return fetched.filter(F.col("status") == 200).select(
-                *[f.name for f in IMAGES_SCHEMA.fields]
-            )
-        committed = sorted(
+    def _committed_epochs(self, manifest: dict, table: str, epoch: int) -> list[int]:
+        return sorted(
             e
             for e in (int(k) for k in manifest["epochs"])
             if e <= epoch and table in manifest["epochs"][str(e)]["tables"]
         )
-        if table in FULL_STATE_TABLES:
-            committed = committed[-1:]
-        paths = [str(self._table_root(table) / f"epoch={e}") for e in committed]
+
+    def _read_epochs(self, table: str, epochs: list[int]) -> DataFrame | None:
+        paths = [str(self._table_root(table) / f"epoch={e}") for e in epochs]
         paths = [p for p in paths if Path(p).exists()]
         if not paths:
+            return None
+        return self.spark.read.option(
+            "basePath", str(self._table_root(table))
+        ).parquet(*paths)
+
+    def read_upto(self, table: str, epoch: int | None = None) -> DataFrame:
+        """All committed rows of `table` at or before `epoch` (partition-
+        pruned). FULL_STATE tables return only the latest committed
+        epoch<=E. Uncommitted (post-manifest) epoch dirs are excluded.
+
+        ``visited`` and ``images`` are VIRTUAL projections of the
+        write-once ``fetched`` payload table (status==200 rows, pruned
+        columns — parquet never reads the bytes for visited): an epoch
+        that committed only ``fetched`` contributes through the
+        projection, while epochs that committed a materialized
+        visited/images partition (older-format stores) contribute their
+        own rows — the union keeps mixed-format manifests exact instead
+        of silently dropping the newer epochs."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+        manifest = self._read_manifest()
+        own = self._committed_epochs(manifest, table, epoch)
+        if table in FULL_STATE_TABLES:
+            own = own[-1:]
+        parts = []
+        own_df = self._read_epochs(table, own)
+        if own_df is not None:
+            parts.append(own_df)
+        if table in VIRTUAL_FROM_FETCHED:
+            have = set(own)
+            f_epochs = [
+                e
+                for e in self._committed_epochs(manifest, "fetched", epoch)
+                if e not in have
+            ]
+            fetched = self._read_epochs("fetched", f_epochs)
+            if fetched is not None:
+                parts.append(
+                    fetched.filter(F.col("status") == 200).select(
+                        *[f.name for f in SCHEMAS[table].fields], "epoch"
+                    )
+                )
+        if not parts:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        df = self.spark.read.option("basePath", str(self._table_root(table))).parquet(*paths)
-        return df
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    batchsize: int = 10_000,
+    **options,
+) -> None:
+    """A8 — the relational-sink seam (reference database/operations.py:
+    23-66 bulk_create → one set-oriented JDBC append per epoch, never
+    row-at-a-time).
+
+    The sandbox ships no JDBC driver jar or database, so this is the
+    documented seam rather than an exercised path: on a real cluster,
+    pass the driver jar via ``spark.jars`` and the call maps straight
+    onto ``DataFrameWriter.jdbc``. ``batchsize`` keeps executor-side
+    inserts batched; partition count of ``df`` = writer parallelism
+    (repartition before calling to throttle connections)."""
+    writer = df.write.format("jdbc").mode(mode).options(
+        url=url, dbtable=table, driver=driver, batchsize=str(batchsize), **options
+    )
+    writer.save()

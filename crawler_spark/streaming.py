@@ -95,28 +95,63 @@ def stream_crawl(
     committed manifest (NOT the batch id), so a batch replayed after a
     crash re-runs the same epoch idempotently — uncommitted partial
     output is overwritten before the manifest commit (F16 semantics,
-    same guarantee as the batch controller)."""
-    state = {"epochs_run": 0}
+    same guarantee as the batch controller).
+
+    Termination: when the frontier exhausts (or max_epochs is hit) the
+    batch function only flips ``query.state['done']`` and becomes a
+    no-op — it never raises, so the StreamingQuery stays healthy and
+    restart/monitoring logic sees a clean stream. The DRIVER stops the
+    query: poll ``state['done']`` (or use :func:`await_crawl_stream`)
+    and call ``query.stop()`` — the Structured Streaming contract is
+    that stop() comes from outside the micro-batch."""
+    state = {"epochs_run": 0, "done": False}
 
     def one_epoch(batch_df, batch_id):
+        if state["done"]:
+            return
         if max_epochs is not None and state["epochs_run"] >= max_epochs:
+            state["done"] = True
             return
         epoch = store.latest_epoch() + 1
         if epoch == 0:
             return  # not seeded yet — nothing to schedule
         stats = run_epoch(spark, store, epoch, cfg, robots_rules=robots_rules)
         state["epochs_run"] += 1
-        if stats["selected"] == 0 and max_epochs is None:
-            raise StopIteration("frontier exhausted")
+        if stats["selected"] == 0:
+            state["done"] = True
 
     stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
-    return (
+    query = (
         stream.writeStream.foreachBatch(one_epoch)
         .option("checkpointLocation", str(store.root / "_stream_checkpoint"))
         .trigger(processingTime="1 second")
         .start()
     )
+    query.state = state  # driver-side completion flag (see docstring)
+    return query
+
+
+def await_crawl_stream(query, timeout_s: float = 300.0, poll_s: float = 0.5) -> bool:
+    """Block until the crawl stream flips its done flag (frontier
+    exhausted / max_epochs reached), then stop it CLEANLY from the
+    driver. Returns True if it completed, False on timeout (the query
+    is stopped either way)."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    done = False
+    while _time.time() < deadline:
+        if query.state.get("done"):
+            done = True
+            break
+        if not query.isActive:
+            break
+        _time.sleep(poll_s)
+    query.stop()
+    if query.exception() is not None:
+        raise query.exception()
+    return done

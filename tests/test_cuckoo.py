@@ -59,3 +59,21 @@ def test_distributed_build_and_probe(spark):
     probe = flt.probe_udf(spark)
     hits = df.withColumn("maybe", probe(F.col("url_hash")))
     assert hits.filter(~F.col("maybe")).count() == 0
+
+
+def test_overfull_insert_raises():
+    """Strict contract: an over-full filter raises instead of silently
+    dropping keys (which would be false negatives downstream)."""
+    import numpy as np
+    import pytest
+
+    from crawler_spark.state.cuckoo import CuckooOverfullError, CuckooSeenSet
+
+    flt = CuckooSeenSet.for_keys(1_000)
+    keys = np.arange(10_000, dtype=np.int64)
+    with pytest.raises(CuckooOverfullError):
+        flt.insert(keys)
+    # non-strict mode reports the drop count instead
+    flt2 = CuckooSeenSet.for_keys(1_000)
+    failed = flt2.insert(keys, strict=False)
+    assert failed > 0

@@ -244,11 +244,18 @@ def test_selector_mining(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
     withhtml = d.select("doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html"))
     sels = mine_selectors(withhtml).collect()
+    n_time = 0
     for r in sels:
         assert r.selectors["container"] is not None  # content div present
-        assert r.selectors["date"] == "<time datetime="
+        # doc_id%11==0 pages carry only the Persian free-text date (C4
+        # tier 3) — no <time> element to mine
+        if r.doc_id % 11 == 0:
+            assert r.selectors["date"] is None
+        else:
+            assert r.selectors["date"] == "<time datetime="
+            n_time += 1
     census = {(r.field, r.selector): r.n_pages for r in selector_census(withhtml).collect()}
-    assert census[("date", "<time datetime=")] == 30
+    assert census[("date", "<time datetime=")] == n_time
 
 
 def test_sitemap_expand_engine(spark):

@@ -130,3 +130,35 @@ def test_resume_equals_straight_run(spark, tmp_path):
         a = {tuple(r) for r in s1.read_upto(table).drop("bytes").collect()}
         b = {tuple(r) for r in s2b.read_upto(table).drop("bytes").collect()}
         assert a == b, table
+
+
+def test_metrics_lineage_nonnull(crawl):
+    """Round-2: candidates/admitted carry REAL per-bucket counts (the
+    round-1 table wrote NULLs and only surfaced driver-side stats)."""
+    store, sim, stats = crawl
+    m = store.read_upto("metrics")
+    assert (
+        m.filter(F.col("candidates").isNull() | F.col("admitted").isNull()).count()
+        == 0
+    )
+    for s in stats:
+        assert s["candidates"] >= s["admitted"] >= s["selected"]
+        assert s["admitted"] > 0
+
+
+def test_fetch_method_column(spark):
+    """A6: api-type jobs go out as POST through the same fetch seam."""
+    from crawler_spark.operators import fetch as fetch_op
+
+    df = spark.createDataFrame(
+        [
+            ("https://h0.example/api/1", 123, "h0.example", 0, None, "api"),
+            ("https://h0.example/post/2", 456, "h0.example", 0, None, "detail"),
+        ],
+        "url_canon string, url_hash long, host string, depth int,"
+        " parent_url string, job_type string",
+    )
+    out = fetch_op.fetch(df, salt_buckets=2).collect()
+    methods = {r.url_canon: r.method for r in out}
+    assert methods["https://h0.example/api/1"] == "POST"
+    assert methods["https://h0.example/post/2"] == "GET"
