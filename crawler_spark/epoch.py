@@ -23,7 +23,17 @@ are functions of committed state + the deterministic world).
 
 from __future__ import annotations
 
+import os
 import time
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    now = time.time()
+    if _TIMING:
+        print(f"    [epoch-timing] {label}: {now - t0:.2f}s", flush=True)
+    return now
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -143,7 +153,8 @@ def run_epoch(
         .withColumn("attempt", F.col("attempts") + 1)
         .drop("attempts")
     )
-    candidates = dedup_candidates(fresh.unionByName(retries))
+    raw_candidates = fresh.unionByName(retries)
+    candidates = dedup_candidates(raw_candidates)
 
     bloom = None
     if cfg.use_bloom:
@@ -158,7 +169,9 @@ def run_epoch(
         respect_robots=cfg.respect_robots,
         bloom=bloom,
     )
-    admitted = admitted.withColumn("job_type", job_type(F.col("url_canon"))).withColumn(
+    admitted = admitted.withColumn(
+        "job_type", job_type(F.col("url_canon"))
+    ).withColumn(
         "priority",
         priority_score(F.col("depth"), F.col("job_type"), F.col("url_canon")),
     )
@@ -174,7 +187,9 @@ def run_epoch(
     # (at 100 TB the payload never fits in cache; write-once-then-derive
     # is the only plan shape that survives the scale-up).
     results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
+    tp = _tlog("plan", t0)
     store.write_table(epoch, "fetched", results)
+    tp = _tlog("fetch+write", tp)
     fetched = store.read_table(epoch, "fetched")
 
     ok = fetched.filter(F.col("status") == 200)
@@ -194,27 +209,52 @@ def run_epoch(
     # Spark's scheduler interleaves the jobs freely
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(store.write_table, epoch, "failed", failed_state, True),
             pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
         ]
+        if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
+            futs.append(pool.submit(
+                store.write_table, epoch, "visited",
+                ok.select("url_hash", "url_canon", "host", "status", "depth", "priority"),
+                True,
+            ))
         for f in futs:
             f.result()
+    tp = _tlog("light-writes", tp)
     frontier_delta = store.read_table(epoch, "frontier")
 
-    # --- per-partition lineage (F15): ONE job unions four per-bucket
-    # aggregates. candidates/admitted re-derive the (cheap, columnar)
-    # admission plan — pruned scans + the anti-join, never the fetch
-    # UDF — so the lineage columns carry REAL counts at bucket grain.
+    # --- per-partition lineage (F15): ONE job joins four per-bucket
+    # aggregates, all REAL counts. candidates/admitted are counted as
+    # count_distinct(url_hash) over the RAW (pre-dedup) union — exactly
+    # the dedup'd counts, because dedup keeps one row per url_hash and
+    # its min-depth pick passes the admission predicate iff any row
+    # does (depth filter is monotone; host/robots are url-level). This
+    # skips the dedup WINDOW (the expensive full sort) in the lineage
+    # branch: the re-derived plan is pruned scans + one distinct
+    # aggregate (+ the anti-join for admitted), never the fetch UDF.
+    # Persisting candidates/admitted across the two jobs was measured
+    # 4x WORSE here: the cache fragment pins its shuffle plan, so AQE
+    # can no longer broadcast the visited anti-join at runtime inside
+    # the fetch job.
     def by_bucket(df, name):
         return df.groupBy(
             host_bucket(F.col("host"), cfg.num_buckets).alias("host_bucket")
-        ).agg(F.count(F.lit(1)).alias(name))
+        ).agg(F.count_distinct(F.col("url_hash")).alias(name))
 
+    adm_raw = admission.admit(
+        raw_candidates,
+        visited,
+        max_depth=cfg.max_depth,
+        host_scope_re=cfg.host_scope_re,
+        robots_rules=robots_rules,
+        respect_robots=cfg.respect_robots,
+        bloom=bloom,
+    )
     metrics = (
-        by_bucket(candidates, "candidates")
-        .join(by_bucket(admitted, "admitted"), "host_bucket", "full_outer")
+        by_bucket(raw_candidates, "candidates")
+        .join(by_bucket(adm_raw, "admitted"), "host_bucket", "full_outer")
         .join(
             fetched.groupBy(
                 host_bucket(F.col("host"), cfg.num_buckets).alias("host_bucket")
@@ -242,9 +282,11 @@ def run_epoch(
     # the metrics write source — the write becomes a driver-local job
     # instead of a second cluster aggregation
     mrows = metrics.collect()
+    tp = _tlog("metrics-collect", tp)
     store.write_table(
         epoch, "metrics", spark.createDataFrame(mrows, METRICS_SCHEMA)
     )
+    _tlog("metrics-write", tp)
     stats = {
         "epoch": epoch,
         "candidates": int(sum(r.candidates for r in mrows)),
@@ -254,9 +296,10 @@ def run_epoch(
         "fetched_fail": int(sum(r.fetched_fail for r in mrows)),
         "wall_ms": int((time.time() - t0) * 1000),
     }
-    store.commit_epoch(
-        epoch, ["fetched", "failed", "frontier", "metrics"], stats
-    )
+    tables = ["fetched", "failed", "frontier", "metrics"]
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
+        tables.append("visited")
+    store.commit_epoch(epoch, tables, stats)
     return stats
 
 
