@@ -140,9 +140,20 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
     )
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", trials))
+    cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
     rps: dict[int, list] = {lo: [], hi: []}
+    first = True
     for _ in range(trials):
-        for cpus in (lo, hi):
+        # larger config FIRST: on a burstable host, sustained load
+        # drains CPU credits monotonically, and the wide config is hit
+        # hardest by the throttle — measuring it first (and
+        # interleaving) keeps the comparison honest (BASELINE.md
+        # host-pathology protocol)
+        for cpus in (hi, lo):
+            if not first:
+                time.sleep(cooldown)  # let the burstable host recover
+            first = False
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),

@@ -3,11 +3,13 @@ columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The training-data-pipeline face of the payload store: decode, resize,
 feature-extract, frame-sample. The Spark-side plumbing (schemas,
-batching, partitioning) is real and tested; decoders for formats whose
-libraries aren't in this container (JPEG, audio, video) are stubbed
-behind ``NotImplementedError`` with the exact same UDF seam, per the
-build contract. The in-house codecs (spec-compliant PNG, qz5 lossy
-stand-in — functions/image.py) exercise the real path end-to-end.
+batching, partitioning) is real and tested. In-house deterministic
+codecs exercise the full path end-to-end: spec-compliant PNG + qz5
+lossy stand-in for images (functions/image.py) and the ``vraw``
+fixed-stride frame container for video (below). Decoders whose
+libraries aren't in this container (JPEG, compressed video, audio)
+are stubbed behind ``NotImplementedError`` at the exact same UDF
+seam, per the build contract.
 
 Design notes for 100 TB:
 * every operator is ``mapInPandas`` over an iterator of Arrow batches —
@@ -127,19 +129,85 @@ def image_embeddings(images: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
+# -- video: deterministic raw container + frame sampling ---------------------
+#
+# No real video codec ships in this container, so per the build
+# contract the DECODE side is a deterministic stand-in with the Spark
+# plumbing fully real: `vraw` is an uncompressed frame container
+# (magic + w/h/n header + concatenated RGB24 planes) whose fixed
+# frame stride gives byte-exact random access — frame_sample seeks
+# straight to the sampled frames and never touches the rest of the
+# payload, the same access pattern a keyframe-indexed mp4 reader has.
+# Real codecs (h264 via pyav/ffmpeg) drop into decode_vraw_frame's
+# seam; compressed formats still raise NotImplementedError.
+
+VIDEO_MAGIC = b"VRW1"
+_VHEAD = 10  # magic(4) + w(2) + h(2) + n_frames(2)
+
+
+def encode_vraw(frames: list[np.ndarray]) -> bytes:
+    import struct
+
+    h, w, _ = frames[0].shape
+    head = VIDEO_MAGIC + struct.pack("<HHH", w, h, len(frames))
+    return head + b"".join(f.astype(np.uint8).tobytes() for f in frames)
+
+
+def vraw_info(data: bytes) -> tuple[int, int, int]:
+    import struct
+
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a vraw container")
+    w, h, n = struct.unpack("<HHH", data[4:_VHEAD])
+    return w, h, n
+
+
+def decode_vraw_frame(data: bytes, idx: int) -> np.ndarray:
+    """Random access by stride — reads ONLY the requested frame."""
+    w, h, n = vraw_info(data)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    stride = w * h * 3
+    off = _VHEAD + idx * stride
+    return np.frombuffer(data[off : off + stride], dtype=np.uint8).reshape(h, w, 3)
+
+
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — UDF seam with the real schema; decode is
-    stubbed (no video codec in this container)."""
+    """Sample every n-th frame: (video_id, frame_idx, frame_bytes
+    [PNG-encoded], w, h, phash). Arrow-batched; per-frame work is a
+    stride seek + PNG encode, decoded pixels never leave the task."""
+
+    cols = ["video_id", "frame_idx", "frame_bytes", "w", "h", "phash"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires a codec library not present in this "
-            "container; the operator contract is (video_id, bytes, fmt) -> "
-            "(video_id, frame_idx, frame_bytes)"
-        )
+        for pdf in it:
+            rows = []
+            for video_id, data, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "vraw":
+                    raise NotImplementedError(
+                        f"no video decoder for fmt={fmt!r} in this container "
+                        f"(seam: decode_vraw_frame)"
+                    )
+                data = bytes(data)
+                w, h, n = vraw_info(data)
+                for idx in range(0, n, every_n):
+                    px = decode_vraw_frame(data, idx)
+                    rows.append(
+                        {
+                            "video_id": video_id,
+                            "frame_idx": idx,
+                            "frame_bytes": img.encode_png(px),
+                            "w": w,
+                            "h": h,
+                            "phash": img.phash64(px),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return videos.select("video_id", "bytes", "fmt").mapInPandas(
-        gen, schema="video_id string, frame_idx int, frame_bytes binary"
+        gen,
+        schema="video_id string, frame_idx int, frame_bytes binary,"
+        " w int, h int, phash long",
     )
 
 

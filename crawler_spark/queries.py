@@ -609,6 +609,30 @@ SQL_S6 = (
 )
 
 
+INDEX_TOUCH_TS = "2026-01-01 00:00:00"
+
+
+def s7_index_touch(spark, sf_dir):
+    """S7: MERGE column-update shape (storage.py:332-353 — set
+    indexed_at for a batch of ids): left join the touch batch, update
+    only matched rows; 'now' is a fixed literal (determinism ban)."""
+    o = _t(spark, sf_dir, "orders")
+    batch = o.filter(F.pmod(F.col("o_orderkey"), 7) == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    return o.join(batch, o.o_orderkey == batch.k, "left").select(
+        "o_orderkey",
+        F.when(F.col("k").isNotNull(), F.lit(INDEX_TOUCH_TS)).alias("indexed_at"),
+    )
+
+
+SQL_S7 = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN '{INDEX_TOUCH_TS}' END AS indexed_at
+FROM orders
+"""
+
+
 def s5_paged_scan(spark, sf_dir):
     """A9/S5: filtered scan with stable paging (window row_number —
     offset/limit without nondeterminism; operations.py:89-118)."""
@@ -967,6 +991,53 @@ def c2_main_content(spark, sf_dir):
     )
 
 
+def _sql_c2() -> str:
+    from .operators import content as C
+
+    def feats(block, prefix):
+        text = (
+            f"trim(regexp_replace(regexp_replace({block}, '<[^>]*>', ' ', 'g'), "
+            f"'\\s+', ' ', 'g'))"
+        )
+        n_p = f"(len(string_split({block}, '<p>')) - 1)"
+        has_h = f"regexp_matches({block}, '<h[1-3]>')"
+        link_text = (
+            f"regexp_replace(array_to_string("
+            f"regexp_extract_all({block}, '>([^<]*)</a>', 1), ' '), '\\s+', ' ', 'g')"
+        )
+        return (
+            f"{text} AS {prefix}_text, {n_p} AS {prefix}_np, "
+            f"{has_h} AS {prefix}_hh, {link_text} AS {prefix}_lt"
+        )
+
+    def score(p):
+        ratio = (
+            f"(CASE WHEN length({p}_text) > 0 "
+            f"THEN length({p}_lt)::DOUBLE / length({p}_text) ELSE 0.0 END)"
+        )
+        return (
+            f"(length({p}_text) + (CASE WHEN {p}_np > 2 THEN {p}_np * 50 ELSE 0 END) "
+            f"+ (CASE WHEN {p}_hh THEN 100 ELSE 0 END) "
+            f"- (CASE WHEN {ratio} > 0.5 THEN 200 ELSE 0 END))"
+        )
+
+    return f"""
+WITH pages AS (SELECT doc_id, {C.sql_synth_html()} AS html FROM documents),
+blocks AS (
+  SELECT doc_id,
+         regexp_extract(html, '<div class="content">(.*?)</div>', 1) AS div_b,
+         regexp_extract(html, '<nav>(.*?)</nav>', 1) AS nav_b
+  FROM pages
+), f AS (
+  SELECT doc_id, {feats('div_b', 'd')}, {feats('nav_b', 'n')} FROM blocks
+)
+SELECT doc_id, {score('d')}::BIGINT AS div_score, {score('n')}::BIGINT AS nav_score,
+       (CASE WHEN {score('d')} >= {score('n')}
+             THEN length(d_text) ELSE length(n_text) END)::INT AS content_len
+FROM f
+"""
+
+
 def c7_list_items(spark, sf_dir):
     """C7: list pages (doc_id%3==0) → repeated item cards extracted as
     array<struct<title,link,summary>> → posexplode."""
@@ -1289,6 +1360,68 @@ def mm_decode_stats(spark, sf_dir):
     )
 
 
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal video plumbing: synthesize vraw containers (8-12
+    frames each) for 30 doc ids, sample every 4th frame via the
+    stride-seek mapInPandas operator, return per-frame metadata +
+    mean pixel. Deterministic; binary codec → rows-only check (the
+    pytest asserts pixel equality against the frame ground truth)."""
+    import pandas as pd
+
+    from . import fixtures as fx
+    from .functions import image as img
+    from .functions import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                vid = f"vid:{int(doc_id)}"
+                n = 8 + int(doc_id) % 5
+                frames = [
+                    fx.py_pixels(fx.py_xxhash64(f"{vid}:f{i}"), 16, 12)
+                    for i in range(n)
+                ]
+                rows.append(
+                    {"video_id": vid, "bytes": MM.encode_vraw(frames), "fmt": "vraw"}
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    videos = d.mapInPandas(synth, schema="video_id string, bytes binary, fmt string")
+    sampled = MM.frame_sample(videos, every_n=4)
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for vid, idx, fb, w, h, ph in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["frame_bytes"],
+                pdf["w"], pdf["h"], pdf["phash"],
+            ):
+                px = img.decode_png(bytes(fb))
+                rows.append(
+                    {
+                        "video_id": vid,
+                        "frame_idx": int(idx),
+                        "w": int(w),
+                        "h": int(h),
+                        "phash": int(ph),
+                        "mean_pixel": round(float(px.mean()), 4),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_idx", "w", "h", "phash", "mean_pixel"],
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema="video_id string, frame_idx int, w int, h int, phash long,"
+        " mean_pixel double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1317,6 +1450,7 @@ REGISTRY: dict[str, tuple] = {
     "s3_link_diff": (s3_link_diff, SQL_S3),
     "s5_paged_scan": (s5_paged_scan, SQL_S5),
     "s6_group_stats": (s6_group_stats, SQL_S6),
+    "s7_index_touch": (s7_index_touch, SQL_S7),
     # sitemap sources
     "a2_robots_sitemaps": (a2_robots_sitemaps, _sql_a2()),
     "a3_sitemap_expand": (a3_sitemap_expand, _sql_a3()),
@@ -1327,7 +1461,7 @@ REGISTRY: dict[str, tuple] = {
     "d10_top_sections": (d10_top_sections, _sql_d10()),
     # content extraction
     "c_extract": (c_extract, _sql_c_extract()),
-    "c2_main_content": (c2_main_content, None),
+    "c2_main_content": (c2_main_content, _sql_c2()),
     "c7_list_items": (c7_list_items, _sql_c7()),
     "c8_related": (c8_related, _sql_c8()),
     "d6_page_type": (d6_page_type, _sql_d6()),
@@ -1352,6 +1486,7 @@ REGISTRY: dict[str, tuple] = {
     # full-epoch / multimodal (rows-only)
     "fe_epoch": (fe_epoch, None),
     "mm_decode_stats": (mm_decode_stats, None),
+    "mm_frame_sample": (mm_frame_sample, None),
 }
 
 

@@ -52,3 +52,29 @@ def test_payload_deterministic():
     assert a == b
     decoded = img.decode(a["bytes"], a["fmt"])
     assert decoded.shape == (a["h"], a["w"], 3)
+
+
+def test_frame_sample_vraw(spark):
+    """Video frame-sampling over the deterministic vraw container:
+    stride-seek random access, every-nth sampling, PNG re-encode
+    byte-parity against the synthesized frame ground truth."""
+    import numpy as np
+
+    from crawler_spark import fixtures as fx
+    from crawler_spark.functions import image as img
+    from crawler_spark.functions import multimodal as MM
+
+    frames = [fx.py_pixels(fx.py_xxhash64(f"v:f{i}"), 16, 12) for i in range(9)]
+    data = MM.encode_vraw(frames)
+    assert MM.vraw_info(data) == (16, 12, 9)
+    assert np.array_equal(MM.decode_vraw_frame(data, 5), frames[5])
+
+    videos = spark.createDataFrame(
+        [("v", bytearray(data), "vraw")], "video_id string, bytes binary, fmt string"
+    )
+    out = MM.frame_sample(videos, every_n=4).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 4, 8]
+    for r in out:
+        assert (r.w, r.h) == (16, 12)
+        assert np.array_equal(img.decode_png(bytes(r.frame_bytes)), frames[r.frame_idx])
+        assert r.phash == img.phash64(frames[r.frame_idx])
