@@ -102,12 +102,6 @@ def sql_cosine_topk(num_queries: int = 5, k: int = 5) -> str:
 # -- random-hyperplane LSH ---------------------------------------------------
 
 
-def plane_component(p: int, j: int) -> int:
-    """Deterministic hyperplane component in [-500, 500): closed-form
-    from the portable hash so DuckDB reproduces it exactly."""
-    return None  # documented helper; the column/SQL forms below are used
-
-
 def _plane_col(p: int, j):
     """hash60('plane:p:j') % 1001 - 500 as a double column."""
     return (
@@ -170,4 +164,55 @@ def sql_lsh_bucket_census() -> str:
     return (
         f"SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id "
         f"FROM ({sql_lsh_signature()}) GROUP BY bucket"
+    )
+
+
+# -- embedding-cosine near-duplicates ----------------------------------------
+
+
+def embed_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): near-duplicate detection by embedding —
+    candidate pairs come from the LSH bucket equi-self-join (never
+    all-pairs; per-bucket fan-out is the only quadratic term and the
+    sign-bit signature keeps buckets small), then the exact cosine
+    filters at `threshold`. The embedding analogue of the MinHash→
+    verify chain in operators/dedup.py."""
+    sig = lsh_signature(emb)
+    pairs = (
+        sig.select("bucket", F.col("vec_id").alias("vec_a"))
+        .join(sig.select("bucket", F.col("vec_id").alias("vec_b")), "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    vecs = emb.select("vec_id", _dvec("embedding").alias("v"))
+    return (
+        pairs.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def sql_embed_neardup_pairs(threshold: float = 0.3) -> str:
+    dot_ab = (
+        "list_aggregate(list_transform(generate_series(1, len(va)), "
+        "i -> va[i] * vb[i]), 'sum')"
+    )
+    na = "sqrt(list_aggregate(list_transform(generate_series(1, len(va)), i -> va[i] * va[i]), 'sum'))"
+    nb = "sqrt(list_aggregate(list_transform(generate_series(1, len(vb)), i -> vb[i] * vb[i]), 'sum'))"
+    return (
+        f"WITH b AS ({sql_lsh_signature()}), "
+        f"p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a "
+        f"JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id), "
+        f"e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM embeddings), "
+        f"s AS (SELECT vec_a, vec_b, ea.v AS va, eb.v AS vb "
+        f"FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b), "
+        f"t AS (SELECT vec_a, vec_b, round({dot_ab} / ({na} * {nb}), 6) AS cos_sim "
+        f"FROM s) "
+        f"SELECT vec_a, vec_b, cos_sim FROM t WHERE cos_sim >= {threshold}"
     )

@@ -1288,6 +1288,11 @@ def ann_lsh_census(spark, sf_dir):
     return SIM.lsh_bucket_census(_t(spark, sf_dir, "embeddings"))
 
 
+def dd_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH bucket candidates → exact cosine."""
+    return SIM.embed_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # full-epoch queries (no SQL oracle — rows-only driver check; the pytest
 # parity simulator is the exact oracle for these)
@@ -1483,6 +1488,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
+    "dd_embed_neardup": (dd_embed_neardup, SIM.sql_embed_neardup_pairs()),
     # full-epoch / multimodal (rows-only)
     "fe_epoch": (fe_epoch, None),
     "mm_decode_stats": (mm_decode_stats, None),
