@@ -204,29 +204,8 @@ def run_epoch(
             F.col("attempt").alias("attempts"), F.col("status").alias("last_status"),
         )
     )
-    # the two light derivations are independent — submit them from
-    # threads so their (serial, driver-bound) planning+commit overlaps;
-    # Spark's scheduler interleaves the jobs freely
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(store.write_table, epoch, "failed", failed_state, True),
-            pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
-        ]
-        if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
-            futs.append(pool.submit(
-                store.write_table, epoch, "visited",
-                ok.select("url_hash", "url_canon", "host", "status", "depth", "priority"),
-                True,
-            ))
-        for f in futs:
-            f.result()
-    tp = _tlog("light-writes", tp)
-    frontier_delta = store.read_table(epoch, "frontier")
-
-    # --- per-partition lineage (F15): ONE job joins four per-bucket
-    # aggregates, all REAL counts. candidates/admitted are counted as
+    # --- per-partition lineage (F15): a per-bucket aggregate job with
+    # all REAL counts. candidates/admitted are counted as
     # count_distinct(url_hash) over the RAW (pre-dedup) union — exactly
     # the dedup'd counts, because dedup keeps one row per url_hash and
     # its min-depth pick passes the admission predicate iff any row
@@ -252,7 +231,7 @@ def run_epoch(
         respect_robots=cfg.respect_robots,
         bloom=bloom,
     )
-    metrics = (
+    lineage = (
         by_bucket(raw_candidates, "candidates")
         .join(by_bucket(adm_raw, "admitted"), "host_bucket", "full_outer")
         .join(
@@ -266,22 +245,58 @@ def run_epoch(
             "host_bucket",
             "full_outer",
         )
-        .join(by_bucket(frontier_delta, "new_frontier"), "host_bucket", "full_outer")
-        .select(
-            "host_bucket",
-            *[
-                F.coalesce(c, F.lit(0)).alias(c)
-                for c in (
-                    "candidates", "admitted", "selected",
-                    "fetched_ok", "fetched_fail", "new_frontier",
-                )
-            ],
-        )
     )
-    # one tiny collect (num_buckets rows) is BOTH the epoch stats and
-    # the metrics write source — the write becomes a driver-local job
-    # instead of a second cluster aggregation
-    mrows = metrics.collect()
+
+    # the three derivations are independent — submit them from threads
+    # so their (serial, driver-bound) planning overlaps and Spark runs
+    # the jobs concurrently: two light writes + the lineage collect
+    # share the epoch's wall-clock instead of queuing serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(store.write_table, epoch, "failed", failed_state, True),
+            pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
+        ]
+        if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
+            futs.append(pool.submit(
+                store.write_table, epoch, "visited",
+                ok.select("url_hash", "url_canon", "host", "status", "depth", "priority"),
+                True,
+            ))
+        lineage_fut = pool.submit(lineage.collect)
+        for f in futs:
+            f.result()
+        lrows = lineage_fut.result()
+    tp = _tlog("light-writes+lineage", tp)
+
+    # new_frontier per bucket from the just-written delta (tiny pruned
+    # scan), merged with the lineage rows DRIVER-SIDE — num_buckets
+    # dict entries, not a cluster join
+    frontier_delta = store.read_table(epoch, "frontier")
+    frows = by_bucket(frontier_delta, "new_frontier").collect()
+    merged: dict[int, dict] = {}
+    for r in lrows:
+        merged[r.host_bucket] = {
+            "host_bucket": r.host_bucket,
+            "candidates": r.candidates or 0,
+            "admitted": r.admitted or 0,
+            "selected": r.selected or 0,
+            "fetched_ok": r.fetched_ok or 0,
+            "fetched_fail": r.fetched_fail or 0,
+            "new_frontier": 0,
+        }
+    for r in frows:
+        row = merged.setdefault(
+            r.host_bucket,
+            {
+                "host_bucket": r.host_bucket, "candidates": 0, "admitted": 0,
+                "selected": 0, "fetched_ok": 0, "fetched_fail": 0,
+                "new_frontier": 0,
+            },
+        )
+        row["new_frontier"] = r.new_frontier
+    mrows = sorted(merged.values(), key=lambda d: d["host_bucket"])
     tp = _tlog("metrics-collect", tp)
     store.write_table(
         epoch, "metrics", spark.createDataFrame(mrows, METRICS_SCHEMA)
@@ -289,11 +304,11 @@ def run_epoch(
     _tlog("metrics-write", tp)
     stats = {
         "epoch": epoch,
-        "candidates": int(sum(r.candidates for r in mrows)),
-        "admitted": int(sum(r.admitted for r in mrows)),
-        "selected": int(sum(r.selected for r in mrows)),
-        "fetched_ok": int(sum(r.fetched_ok for r in mrows)),
-        "fetched_fail": int(sum(r.fetched_fail for r in mrows)),
+        "candidates": int(sum(r["candidates"] for r in mrows)),
+        "admitted": int(sum(r["admitted"] for r in mrows)),
+        "selected": int(sum(r["selected"] for r in mrows)),
+        "fetched_ok": int(sum(r["fetched_ok"] for r in mrows)),
+        "fetched_fail": int(sum(r["fetched_fail"] for r in mrows)),
         "wall_ms": int((time.time() - t0) * 1000),
     }
     tables = ["fetched", "failed", "frontier", "metrics"]
