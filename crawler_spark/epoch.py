@@ -253,10 +253,16 @@ def run_epoch(
     # share the epoch's wall-clock instead of queuing serially
     from concurrent.futures import ThreadPoolExecutor
 
+    def write_frontier_and_count():
+        # same thread: write the delta, then aggregate new_frontier per
+        # bucket from the just-written parquet (tiny pruned scan) — the
+        # count overlaps the other jobs instead of trailing them
+        store.write_table(epoch, "frontier", emit_links(ok), True)
+        return by_bucket(store.read_table(epoch, "frontier"), "new_frontier").collect()
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
             pool.submit(store.write_table, epoch, "failed", failed_state, True),
-            pool.submit(store.write_table, epoch, "frontier", emit_links(ok), True),
         ]
         if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
             futs.append(pool.submit(
@@ -264,17 +270,16 @@ def run_epoch(
                 ok.select("url_hash", "url_canon", "host", "status", "depth", "priority"),
                 True,
             ))
+        frontier_fut = pool.submit(write_frontier_and_count)
         lineage_fut = pool.submit(lineage.collect)
         for f in futs:
             f.result()
+        frows = frontier_fut.result()
         lrows = lineage_fut.result()
     tp = _tlog("light-writes+lineage", tp)
 
-    # new_frontier per bucket from the just-written delta (tiny pruned
-    # scan), merged with the lineage rows DRIVER-SIDE — num_buckets
-    # dict entries, not a cluster join
-    frontier_delta = store.read_table(epoch, "frontier")
-    frows = by_bucket(frontier_delta, "new_frontier").collect()
+    # merge the two per-bucket row sets DRIVER-SIDE — num_buckets dict
+    # entries, not a cluster join
     merged: dict[int, dict] = {}
     for r in lrows:
         merged[r.host_bucket] = {
