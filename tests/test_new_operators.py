@@ -146,6 +146,8 @@ def test_image_stats_and_resize(spark):
 
 
 def test_frame_sample_stub_contract(spark):
+    """Compressed formats still raise at the documented decode seam;
+    the vraw path (test_image.test_frame_sample_vraw) is the real one."""
     from crawler_spark.functions.multimodal import frame_sample
 
     videos = spark.createDataFrame(
@@ -153,10 +155,11 @@ def test_frame_sample_stub_contract(spark):
     )
     df = frame_sample(videos)
     assert df.schema.simpleString() == (
-        "struct<video_id:string,frame_idx:int,frame_bytes:binary>"
+        "struct<video_id:string,frame_idx:int,frame_bytes:binary,"
+        "w:int,h:int,phash:bigint>"
     )
     with pytest.raises(Exception):
-        df.collect()  # decode stub raises NotImplementedError in the UDF
+        df.collect()  # no h264 decoder in this container
 
 
 # -- streaming ---------------------------------------------------------------
