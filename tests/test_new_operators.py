@@ -417,3 +417,23 @@ def test_fa_normalize_and_tokens(spark):
     assert row.n == "قانونی وکیل محکمه 345 می شود حقوق"
     # می/شود are stop words; the rest survive per-occurrence
     assert row.toks == ["قانونی", "وکیل", "محکمه", "345", "حقوق"]
+
+
+def test_await_crawl_stream_clean_stop(spark, store_dir):
+    """Round-2: frontier exhaustion flips the done flag and the driver
+    stops the query cleanly — no exception on the StreamingQuery."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, seeds_to_frontier
+    from crawler_spark.state.snapshots import SnapshotStore
+    from crawler_spark.streaming import await_crawl_stream, stream_crawl
+
+    cfg = EpochConfig(epoch_budget=50, max_depth=0)  # exhausts after 2 epochs
+    seeds = fx.seeds_df(spark, 30)
+    store = SnapshotStore(spark, store_dir + "/aw")
+    store.write_epoch(0, {"frontier": seeds_to_frontier(seeds)}, stats={"seeded": True})
+    q = stream_crawl(spark, store, cfg, robots_rules=fx.robots_rules_df(spark))
+    done = await_crawl_stream(q, timeout_s=180)
+    assert done
+    assert not q.isActive
+    assert q.exception() is None
+    assert store.latest_epoch() >= 1
