@@ -65,6 +65,54 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> list[int]:
+    """First line of /proc/stat: user nice system idle iowait irq
+    softirq steal ... (jiffies, all cpus summed)."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _mem_gbps() -> float:
+    """~1 s single-thread STREAM-triad calibration (a = b + c over
+    64 MB arrays). This host's hypervisor caps/borrows MEMORY
+    BANDWIDTH, not just cores: measured swings of 1-2 GB/s per core
+    (healthy hosts: 10-25) with <2 % steal and full core grant — the
+    failure mode steal_pct cannot see, and the one that dominates the
+    engine's shuffle-bound phases. Recording it beside each run makes
+    a bandwidth-starved measurement attributable from the JSON."""
+    import numpy as np
+
+    n = 8_000_000  # 64 MB per array
+    a = np.empty(n)
+    b = np.ones(n)
+    c = np.ones(n)
+    np.add(b, c, out=a)  # touch pages before timing
+    t0 = time.time()
+    for _ in range(2):
+        np.add(b, c, out=a)
+    return round(3 * 8 * n * 2 / (time.time() - t0) / 1e9, 2)
+
+
+def _host_telemetry(before: list[int], after: list[int], wall: float) -> dict:
+    """Machine-checkable host-state evidence for a measurement window.
+
+    steal_pct: share of jiffies the hypervisor withheld (burstable-VM
+    throttling shows up here). achieved_cores: (user+nice+sys+irq+
+    softirq)/wall — how many cores of CPU the window ACTUALLY got.
+    On this burstable host a 'slow' run with high steal / low achieved
+    cores is the host's number, not the engine's (BASELINE.md host
+    pathologies); embedding both makes that attribution checkable from
+    the JSON alone instead of trusting prose."""
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d)
+    busy = d[0] + d[1] + d[2] + d[5] + d[6]
+    hz = os.sysconf("SC_CLK_TCK")
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 2) if total else 0.0,
+        "achieved_cores": round(busy / (wall * hz), 2) if wall > 0 else 0.0,
+    }
+
+
 def bench_frontier(spark) -> tuple[float, int]:
     """Run the crawl job; return (wall_sec, fetched_ok_rows)."""
     from crawler_spark import fixtures as fx
@@ -85,6 +133,18 @@ def bench_frontier(spark) -> tuple[float, int]:
     return wall, fetched
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative stop-the-world GC time of the local JVM (driver ==
+    executor in local mode). GC burns jiffies that /proc/stat counts
+    as 'busy' — high achieved_cores + low rows/s + high gc_sec marks a
+    memory-pressure run, which steal_pct alone cannot see."""
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(b.getCollectionTime() for b in beans)
+
+
 def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     from crawler_spark import queries as Q
     from crawler_spark.session import get_spark
@@ -103,10 +163,18 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     ).count()
 
     out: dict = {"queries": {}, "cpus": cpus}
+    mem0 = _mem_gbps()
+    s0 = _cpu_sample()
+    g0 = _jvm_gc_ms(spark)
+    w0 = time.time()
     fw, fr = bench_frontier(spark)
     out["queries"]["frontier_crawl"] = round(fw, 3)
     out["frontier_rows_per_sec"] = round(fr / fw, 1)
     out["frontier_fetched_rows"] = fr
+    out["frontier_host"] = _host_telemetry(s0, _cpu_sample(), time.time() - w0)
+    out["frontier_host"]["gc_sec"] = round((_jvm_gc_ms(spark) - g0) / 1000, 1)
+    out["frontier_host"]["mem_gbps_before"] = mem0
+    out["frontier_host"]["mem_gbps_after"] = _mem_gbps()
 
     if not frontier_only:
         for name in BENCH_QUERIES:
@@ -116,6 +184,7 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
             out["queries"][name] = round(time.time() - t0, 3)
 
     out["value"] = round(sum(out["queries"].values()), 3)
+    out["host"] = _host_telemetry(s0, _cpu_sample(), time.time() - w0)
     return out
 
 
@@ -143,6 +212,7 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", trials))
     cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
     rps: dict[int, list] = {lo: [], hi: []}
+    runs: list[dict] = []
     first = True
     for _ in range(trials):
         # larger config FIRST: on a burstable host, sustained load
@@ -164,10 +234,13 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                     "SPARK_GRAFT_BENCH_EPOCHS", "1"
                 ),
             )
+            s0, w0 = _cpu_sample(), time.time()
             p = subprocess.run(
                 [sys.executable, __file__, "--frontier-only"],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
+            wall = time.time() - w0
+            tele = _host_telemetry(s0, _cpu_sample(), wall)
             lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
             if p.returncode != 0 or not lines:
                 sys.stderr.write(
@@ -175,9 +248,35 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                     f"--- child stderr ---\n{p.stderr[-4000:]}\n"
                 )
                 sys.exit(1)
-            rps[cpus].append(json.loads(lines[-1])["frontier_rows_per_sec"])
+            child = json.loads(lines[-1])
+            rps[cpus].append(child["frontier_rows_per_sec"])
+            runs.append({
+                "cpus": cpus,
+                "rows_per_sec": child["frontier_rows_per_sec"],
+                "job_sec": child["queries"]["frontier_crawl"],
+                # job-window telemetry (excludes JVM startup) from the
+                # child itself; subprocess-window steal as backup
+                "job_steal_pct": child["frontier_host"]["steal_pct"],
+                "job_achieved_cores": child["frontier_host"]["achieved_cores"],
+                "job_gc_sec": child["frontier_host"].get("gc_sec"),
+                "job_mem_gbps": [
+                    child["frontier_host"].get("mem_gbps_before"),
+                    child["frontier_host"].get("mem_gbps_after"),
+                ],
+                "proc_steal_pct": tele["steal_pct"],
+            })
     med = {c: sorted(v)[len(v) // 2] for c, v in rps.items()}
     speedup = med[hi] / med[lo]
+    med_cores = {
+        c: sorted(r["job_achieved_cores"] for r in runs if r["cpus"] == c)[
+            sum(1 for r in runs if r["cpus"] == c) // 2
+        ]
+        for c in (lo, hi)
+    }
+    # grant_ratio: how much of the nominal (hi/lo)x core ratio the
+    # hypervisor actually delivered during the measured jobs. If this
+    # is << hi/lo, the efficiency number is capped by the host grant,
+    # not the engine — checkable from this JSON alone.
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         f"rows_per_sec_local{lo}_runs": rps[lo],
@@ -186,6 +285,12 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
         f"rows_per_sec_local{hi}": med[hi],
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (hi / lo), 3),
+        "nominal_core_ratio": hi / lo,
+        "grant_ratio": round(med_cores[hi] / med_cores[lo], 3)
+        if med_cores[lo]
+        else None,
+        "achieved_cores": {str(c): med_cores[c] for c in (lo, hi)},
+        "runs": runs,
     }))
 
 
@@ -207,6 +312,11 @@ def main() -> None:
         "frontier_rows_per_sec": out["frontier_rows_per_sec"],
         "frontier_fetched_rows": out["frontier_fetched_rows"],
         "cpus": out["cpus"],
+        # host-state evidence: steal_pct >~5 or achieved_cores far
+        # below cpus marks a hypervisor-throttled (uninterpretable
+        # as engine regression) run — BASELINE.md host pathologies
+        "host": out["host"],
+        "frontier_host": out["frontier_host"],
     }
     print(json.dumps(line))
 
