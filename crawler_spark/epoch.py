@@ -79,16 +79,40 @@ def seeds_to_frontier(seeds: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def dedup_candidates(cands: DataFrame) -> DataFrame:
-    """Keep one row per url_hash: min (depth, parent_url, attempt).
-    Deterministic replacement for the reference's first-enqueue-wins
-    (which is thread-order-dependent, crawler.py:685-749)."""
-    w = Window.partitionBy("url_hash").orderBy(
-        F.col("depth").asc(), F.col("parent_url").asc_nulls_first(), F.col("attempt").asc()
+    """Keep one row per url_hash: min (depth, parent_url NULLS FIRST,
+    attempt). Deterministic replacement for the reference's
+    first-enqueue-wins (which is thread-order-dependent,
+    crawler.py:685-749).
+
+    Shape: hash aggregate `min(struct(...))`, NOT a row_number window —
+    the aggregate gets map-side partial combine (the shuffle carries
+    one row per distinct url_hash per input partition, no sort), while
+    the window shuffles and SORTS every duplicate row. On this host the
+    sort path was the dominant, bandwidth-bound cost of the epoch at
+    10^6 candidates; at 100 TB partial aggregation is the only shape
+    that bounds shuffle volume by distinct keys instead of raw rows.
+    NULLS FIRST is encoded as (parent IS NOT NULL, coalesce(parent,''))
+    inside the struct — bit-exact with the simulator's min-rule
+    (simulator._frontier_insert)."""
+    m = cands.groupBy("url_hash").agg(
+        F.min(
+            F.struct(
+                F.col("depth"),
+                F.col("parent_url").isNotNull().alias("p_nn"),
+                F.coalesce(F.col("parent_url"), F.lit("")).alias("p"),
+                F.col("attempt"),
+                F.col("url_canon"),
+                F.col("host"),
+            )
+        ).alias("m")
     )
-    return (
-        cands.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return m.select(
+        F.col("m.url_canon").alias("url_canon"),
+        "url_hash",
+        F.col("m.host").alias("host"),
+        F.col("m.depth").alias("depth"),
+        F.when(F.col("m.p_nn"), F.col("m.p")).alias("parent_url"),
+        F.col("m.attempt").alias("attempt"),
     )
 
 
@@ -112,9 +136,21 @@ def emit_links(fetched_ok: DataFrame) -> DataFrame:
         F.col("depth").cast("int").alias("depth"),
         "parent_url",
     )
-    # in-delta dedup (same tie-break rule as candidate dedup)
-    w = Window.partitionBy("url_hash").orderBy(F.col("depth").asc(), F.col("parent_url").asc())
-    return out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    # in-delta dedup (same tie-break rule as candidate dedup):
+    # min(struct) hash aggregate, not a window — map-side combine
+    # collapses the ~8x link fan-in before the shuffle, so the
+    # exchange carries distinct url_hashes, not every emitted link
+    # (parent_url is never NULL here: it is the fetched row's canon)
+    m = out.groupBy("url_hash").agg(
+        F.min(F.struct("depth", "parent_url", "url_canon", "host")).alias("m")
+    )
+    return m.select(
+        F.col("m.url_canon").alias("url_canon"),
+        "url_hash",
+        F.col("m.host").alias("host"),
+        F.col("m.depth").alias("depth"),
+        F.col("m.parent_url").alias("parent_url"),
+    )
 
 
 def run_epoch(
