@@ -13,6 +13,7 @@ dd* dedup, ann* similarity, mm* multimodal, fe* full-epoch.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -32,6 +33,13 @@ from .operators import similarity as SIM
 from .operators.jobtype import job_type, sql_job_type
 from .operators.priority import priority_score, sql_priority_score
 from .operators.schedule import select_epoch, with_slots
+
+
+# committed golden-table fixtures (tools/make_golden.py) for the
+# non-SQL-expressible queries' DuckDB oracles
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1489,10 +1497,31 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
     "dd_embed_neardup": (dd_embed_neardup, SIM.sql_embed_neardup_pairs()),
-    # full-epoch / multimodal (rows-only)
-    "fe_epoch": (fe_epoch, None),
-    "mm_decode_stats": (mm_decode_stats, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    # full-epoch / multimodal — golden-table value oracles: the
+    # expected rows are INDEPENDENTLY precomputed (pure-Python parity
+    # simulator for the epoch, pure-Python codecs for the multimodal
+    # ops — tools/make_golden.py) into committed parquet fixtures;
+    # DuckDB reads the fixture, so these get the full row/schema/value
+    # hash check instead of the weaker rows-only check. The mm_*
+    # oracles semi-join `documents` so the expected row set follows
+    # the sf dir's actual doc_ids.
+    "fe_epoch": (
+        fe_epoch,
+        "SELECT url_hash, url_canon, host, depth, priority "
+        f"FROM read_parquet('{_GOLDEN_DIR}/fe_epoch.parquet')",
+    ),
+    "mm_decode_stats": (
+        mm_decode_stats,
+        "SELECT doc_id, w, h, fmt, phash, mean_pixel "
+        f"FROM read_parquet('{_GOLDEN_DIR}/mm_decode_stats.parquet') "
+        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 100)",
+    ),
+    "mm_frame_sample": (
+        mm_frame_sample,
+        "SELECT video_id, frame_idx, w, h, phash, mean_pixel "
+        f"FROM read_parquet('{_GOLDEN_DIR}/mm_frame_sample.parquet') "
+        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 30)",
+    ),
 }
 
 

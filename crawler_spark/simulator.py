@@ -41,6 +41,9 @@ CRAWL_DELAY_DEFAULT = 1.0
 class SimResult:
     fetch_log: list = field(default_factory=list)  # (epoch, rank, url_canon)
     visited: dict = field(default_factory=dict)  # url_hash -> url_canon
+    # full per-fetch rows (epoch, rank, url_hash, url_canon, host,
+    # depth, priority) — golden-table source for the fe_epoch oracle
+    visited_rows: list = field(default_factory=list)
     failed: dict = field(default_factory=dict)  # url_hash -> dict
     frontier: dict = field(default_factory=dict)  # url_hash -> (url, host, depth, parent)
     images: dict = field(default_factory=dict)  # url_hash -> payload dict (w/o bytes)
@@ -123,6 +126,7 @@ def simulate(
                 res.visited[uh] = url
                 res.failed.pop(uh, None)
                 res.fetch_log.append((epoch, rank, url))
+                res.visited_rows.append((epoch, rank, uh, url, host, depth, prio))
                 if with_payloads:
                     p = fx.py_fetch_payload(uh)
                     p.pop("bytes")
