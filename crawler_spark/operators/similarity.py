@@ -169,20 +169,93 @@ def sql_lsh_bucket_census() -> str:
 
 # -- embedding-cosine near-duplicates ----------------------------------------
 
+N_BANDS = 4
 
-def embed_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+
+def planes_for_corpus(n: int, target_bucket: int = 32, lo: int = 4, hi: int = 24) -> int:
+    """Planes per band sized from the corpus count so the EXPECTED
+    bucket population stays ~`target_bucket` as N grows: buckets per
+    band = 2^planes, so planes = ceil(log2(N / target_bucket)).
+    This is what makes the banded self-join scale: candidate work is
+    O(N · target_bucket) total, never O((N/const)²) — at 10^9 vectors
+    it yields 2^25 buckets/band of ~32 vectors, vs the round-2 fixed
+    256-bucket signature whose buckets grew linearly with N."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n, 1) / target_bucket))))
+
+
+def banded_signature(
+    emb: DataFrame, bands: int = N_BANDS, planes_per_band: int = 4
+) -> DataFrame:
+    """(vec_id, band, bits): one row per band per vector — the
+    sign-bit slice over that band's hyperplanes, exactly the MinHash
+    banding shape (dedup.lsh_bands): a pair is a candidate if it
+    matches in ANY band (recall), and each band's bucket key space
+    (2^planes_per_band) grows with the corpus via planes_for_corpus
+    (bounded work). One explode over per-band structs, computed in a
+    single codegen'd Project."""
+    v = _dvec("embedding")
+
+    band_structs = []
+    for b in range(bands):
+        bits = None
+        for j in range(planes_per_band):
+            p = b * planes_per_band + j
+
+            def mul_factory(pp: int):
+                def mul(x, i):
+                    return x * _plane_col(pp, i)
+
+                return mul
+
+            proj = F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(0), F.lit(DIM - 1)), mul_factory(p)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bits.cast("int").alias("bits"))
+        )
+    return emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+
+
+def embed_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    bands: int = N_BANDS,
+    planes_per_band: int | None = None,
+) -> DataFrame:
     """(vec_a, vec_b, cos_sim): near-duplicate detection by embedding —
-    candidate pairs come from the LSH bucket equi-self-join (never
-    all-pairs; per-bucket fan-out is the only quadratic term and the
-    sign-bit signature keeps buckets small), then the exact cosine
-    filters at `threshold`. The embedding analogue of the MinHash→
-    verify chain in operators/dedup.py."""
-    sig = lsh_signature(emb)
+    candidate pairs from the banded sign-bit LSH equi-self-join on
+    (band, bits), deduped across bands, then the exact cosine verify at
+    `threshold`. The embedding analogue of the MinHash→verify chain in
+    operators/dedup.py, with the same scaling property: bucket count
+    grows with the corpus (planes_for_corpus), so the within-bucket
+    self-join fan-out stays ~target_bucket² per bucket at ANY corpus
+    size.
+
+    ``planes_per_band=None`` derives the band width from a corpus
+    count() — one metadata-cheap job; on a real deployment this is a
+    table statistic, not a scan. Pass it explicitly to pin the plan
+    (the registry pins 4 = planes_for_corpus(500) so the static DuckDB
+    oracle at sf0.01 mirrors it exactly)."""
+    if planes_per_band is None:
+        planes_per_band = planes_for_corpus(emb.count())
+    sig = banded_signature(emb, bands, planes_per_band)
     pairs = (
-        sig.select("bucket", F.col("vec_id").alias("vec_a"))
-        .join(sig.select("bucket", F.col("vec_id").alias("vec_b")), "bucket")
+        sig.select("band", "bits", F.col("vec_id").alias("vec_a"))
+        .join(
+            sig.select("band", "bits", F.col("vec_id").alias("vec_b")),
+            ["band", "bits"],
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+        .distinct()
     )
     vecs = emb.select("vec_id", _dvec("embedding").alias("v"))
     return (
@@ -197,7 +270,31 @@ def embed_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     )
 
 
-def sql_embed_neardup_pairs(threshold: float = 0.3) -> str:
+def sql_banded_signature(bands: int = N_BANDS, planes_per_band: int = 4) -> str:
+    def comp(p: int) -> str:
+        seeded = f"'plane:{p}:' || (j - 1)"
+        return f"(({sql_hash60(seeded)}) % 1001 - 500)::DOUBLE"
+
+    selects = []
+    for b in range(bands):
+        bit_terms = []
+        for jj in range(planes_per_band):
+            p = b * planes_per_band + jj
+            proj = (
+                f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+                f"j -> embedding[j]::DOUBLE * {comp(p)}), 'sum')"
+            )
+            bit_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << jj} ELSE 0 END)")
+        bits = " + ".join(bit_terms)
+        selects.append(
+            f"SELECT vec_id, {b} AS band, ({bits})::INT AS bits FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def sql_embed_neardup_pairs(
+    threshold: float = 0.3, bands: int = N_BANDS, planes_per_band: int = 4
+) -> str:
     dot_ab = (
         "list_aggregate(list_transform(generate_series(1, len(va)), "
         "i -> va[i] * vb[i]), 'sum')"
@@ -205,9 +302,9 @@ def sql_embed_neardup_pairs(threshold: float = 0.3) -> str:
     na = "sqrt(list_aggregate(list_transform(generate_series(1, len(va)), i -> va[i] * va[i]), 'sum'))"
     nb = "sqrt(list_aggregate(list_transform(generate_series(1, len(vb)), i -> vb[i] * vb[i]), 'sum'))"
     return (
-        f"WITH b AS ({sql_lsh_signature()}), "
-        f"p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a "
-        f"JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id), "
+        f"WITH b AS ({sql_banded_signature(bands, planes_per_band)}), "
+        f"p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a "
+        f"JOIN b c ON a.band = c.band AND a.bits = c.bits AND a.vec_id < c.vec_id), "
         f"e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
         f"FROM embeddings), "
         f"s AS (SELECT vec_a, vec_b, ea.v AS va, eb.v AS vb "

@@ -1297,7 +1297,11 @@ def ann_lsh_census(spark, sf_dir):
 
 
 def dd_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: LSH bucket candidates → exact cosine."""
+    """Embedding-cosine near-dup: banded sign-bit LSH candidates →
+    exact cosine verify. planes_per_band derives from the corpus count
+    (the scale path: bucket count grows with N); the static oracle
+    pins planes_for_corpus(500)=4, the value at the sf0.01/sf0.001
+    correctness scale."""
     return SIM.embed_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
