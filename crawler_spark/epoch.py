@@ -58,7 +58,16 @@ class EpochConfig:
     salt_buckets: int = 8
     host_scope_re: str = admission.HOST_SCOPE_RE
     respect_robots: bool = True
-    use_bloom: bool = False
+    # False → exact anti-join only; True → always build the Bloom;
+    # "auto" (default) → engage the Bloom pre-filter once the visited
+    # set (estimated driver-side from manifest stats — ZERO extra
+    # Spark jobs) crosses bloom_auto_threshold. Below the threshold
+    # the exact join broadcasts fine; past it the Bloom is the scale
+    # story (the 10^9-visited regime of the north rule: compact
+    # broadcast filter + exact confirm instead of shuffling every
+    # candidate).
+    use_bloom: bool | str = "auto"
+    bloom_auto_threshold: int = 1_000_000
     bloom_fpp: float = 0.01
 
 
@@ -160,16 +169,18 @@ def run_epoch(
     cfg: EpochConfig,
     robots_rules: DataFrame | None = None,
 ) -> dict:
-    """One scheduling epoch = 5 Spark jobs (was 8 in round 1 — the
+    """One scheduling epoch = 6 Spark actions (was ~8 in round 1 — the
     per-epoch fixed cost is the scaling-efficiency denominator):
 
       1. fetch + payload write   (the only execution of the fetch UDF)
-      2. failed-state write      ┐ threaded — planning/commit overlap
-      3. frontier-delta write    ┘
-      4. metrics aggregation     (ONE action collecting num_buckets
-         rows: per-bucket candidates/admitted/selected/ok/fail/new —
-         the full per-partition lineage the north rule asks for)
-      5. metrics write           (driver-local rows — trivial job)
+      2. failed-state write      ┐ threaded — planning/commit overlap;
+      3. frontier-delta write    │ actions 2-5 run concurrently and
+      4. new-frontier collect    │ share wall-clock (4 is a pruned
+      5. lineage collect         ┘ re-scan of 3's output; 5 collects
+         num_buckets rows of per-bucket candidates/admitted/selected/
+         ok/fail — with 4's new_frontier merged driver-side, the full
+         per-partition lineage the north rule asks for)
+      6. metrics write           (driver-local rows — trivial job)
 
     ``visited`` is never written: it is a pruned VIRTUAL projection of
     the fetched payload table (snapshots.VIRTUAL_FROM_FETCHED), so the
@@ -193,7 +204,17 @@ def run_epoch(
     candidates = dedup_candidates(raw_candidates)
 
     bloom = None
-    if cfg.use_bloom:
+    if cfg.use_bloom == "auto":
+        # estimated visited size = sum of committed fetched_ok stats —
+        # a manifest (JSON) read, not a count() job; the 1.2x headroom
+        # only pads the filter's fpp sizing
+        est = store.stats_sum("fetched_ok", upto=epoch - 1)
+        if est >= cfg.bloom_auto_threshold:
+            bloom = BloomSeenSet.build(
+                visited, "url_hash",
+                expected_keys=int(est * 1.2), fpp=cfg.bloom_fpp,
+            )
+    elif cfg.use_bloom:
         bloom = BloomSeenSet.build(visited, "url_hash", fpp=cfg.bloom_fpp)
 
     admitted = admission.admit(
@@ -352,11 +373,18 @@ def run_epoch(
         "fetched_fail": int(sum(r["fetched_fail"] for r in mrows)),
         "wall_ms": int((time.time() - t0) * 1000),
     }
+    store.commit_epoch(epoch, _epoch_tables(), stats)
+    return stats
+
+
+def _epoch_tables() -> list[str]:
+    """Tables written per epoch — shared by the normal and reseed
+    commit paths so a materialized `visited` partition is never
+    orphaned from the manifest."""
     tables = ["fetched", "failed", "frontier", "metrics"]
     if os.environ.get("SPARK_GRAFT_MATERIALIZE_VISITED"):
         tables.append("visited")
-    store.commit_epoch(epoch, tables, stats)
-    return stats
+    return tables
 
 
 # ---------------------------------------------------------------------------
@@ -455,11 +483,7 @@ def run_crawl(
             if reseed and not reseeded:
                 reseeded = True
                 store.write_table(epoch, "frontier", seeds_to_frontier(seeds), rebalance=True)
-                store.commit_epoch(
-                    epoch,
-                    ["fetched", "failed", "frontier", "metrics"],
-                    {**stats, "reseeded": True},
-                )
+                store.commit_epoch(epoch, _epoch_tables(), {**stats, "reseeded": True})
             else:
                 break
         epoch += 1

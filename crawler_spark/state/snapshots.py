@@ -148,6 +148,19 @@ class SnapshotStore:
     def latest_epoch(self) -> int:
         return self._read_manifest()["latest_epoch"]
 
+    def stats_sum(self, field: str, upto: int | None = None) -> int:
+        """Sum a per-epoch stats counter across committed epochs — a
+        driver-side manifest read (no Spark job); used e.g. to estimate
+        the visited-set size for auto Bloom sizing."""
+        total = 0
+        for e_str, ent in self._read_manifest()["epochs"].items():
+            if upto is not None and int(e_str) > upto:
+                continue
+            v = ent.get("stats", {}).get(field)
+            if v:
+                total += int(v)
+        return total
+
     # -- write ---------------------------------------------------------------
 
     def write_table(

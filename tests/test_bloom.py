@@ -51,3 +51,44 @@ def test_anti_join_with_bloom_equals_exact(spark):
     exact = {r.url_hash for r in anti_join_seen(cand, visited).collect()}
     bloomy = {r.url_hash for r in anti_join_seen(cand, visited, bloom=flt).collect()}
     assert exact == bloomy
+
+
+def test_auto_bloom_engages_and_is_exact(spark, tmp_path):
+    """use_bloom='auto' (the default): below bloom_auto_threshold the
+    epoch runs the plain exact anti-join; past it the Bloom pre-filter
+    engages (sized from manifest stats, no count job) — and the crawl
+    state is IDENTICAL either way (no-false-negative pre-filter +
+    exact confirm)."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, run_crawl
+    from crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = fx.seeds_df(spark, 120, 10)
+    robots = fx.robots_rules_df(spark, 10)
+    results = {}
+    for name, cfg in [
+        ("auto_on", EpochConfig(num_buckets=4, epoch_budget=300,
+                                use_bloom="auto", bloom_auto_threshold=1)),
+        ("exact", EpochConfig(num_buckets=4, epoch_budget=300,
+                              use_bloom=False)),
+    ]:
+        store = SnapshotStore(spark, tmp_path / name)
+        run_crawl(spark, store, seeds, cfg, num_epochs=3, robots_rules=robots)
+        results[name] = {
+            (r.url_hash, r.epoch)
+            for r in store.read_upto("visited").select("url_hash", "epoch").collect()
+        }
+    assert results["auto_on"] == results["exact"]
+    assert len(results["auto_on"]) > 120  # the crawl actually grew
+
+
+def test_stats_sum_reads_manifest(spark, tmp_path):
+    from crawler_spark.state.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_path / "s")
+    store.commit_epoch(1, [], {"fetched_ok": 10})
+    store.commit_epoch(2, [], {"fetched_ok": 7})
+    store.commit_epoch(3, [], {"fetched_ok": 5})
+    assert store.stats_sum("fetched_ok") == 22
+    assert store.stats_sum("fetched_ok", upto=2) == 17
+    assert store.stats_sum("missing") == 0
