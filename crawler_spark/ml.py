@@ -171,6 +171,58 @@ def train_content_classifier(spark: SparkSession, n_per_class: int = 200):
     return model, {"accuracy": row.accuracy, "n_test": row.n_test}
 
 
+def model_select_content_classifier(
+    spark: SparkSession, n_per_class: int = 200, folds: int = 3, seed: int = 42
+):
+    """M9 — model selection: pyspark.ml CrossValidator +
+    ParamGridBuilder over the full content pipeline with an f1
+    evaluator, mirroring the reference harness's
+    GridSearchCV(scoring='f1_macro') + cross_validate
+    (ml/training/train_content_model.py:203-229). Seeded fold
+    assignment → deterministic selection.
+
+    Grid: LogisticRegression regParam x elasticNetParam (2x2). Each
+    fold refits the whole pipeline (TF-IDF included), so no
+    train/validation leakage through the IDF statistics — the same
+    property sklearn's Pipeline-inside-GridSearchCV gives the
+    reference. Returns (CrossValidatorModel, report) where report
+    carries the per-candidate averaged f1 and the winning params."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipe = classifier_pipeline()
+    lr = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.01, 0.5])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="f1"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=folds,
+        seed=seed,
+        parallelism=2,
+    )
+    corpus = structural_features(synthetic_labeled_corpus(spark, n_per_class))
+    model = cv.fit(corpus)
+    best_lr = model.bestModel.stages[-1]
+    avg = [round(float(m), 6) for m in model.avgMetrics]
+    return model, {
+        "avg_f1": avg,
+        "best_f1": max(avg),
+        "best": {
+            "regParam": best_lr.getRegParam(),
+            "elasticNetParam": best_lr.getElasticNetParam(),
+        },
+    }
+
+
 def predict_content_type(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """M7/M8: batch predict — (doc_id, predicted_class, probability)."""
     from pyspark.ml.functions import vector_to_array
@@ -381,10 +433,7 @@ def nb_predict(counts: DataFrame, docs: DataFrame, text_col: str = "text",
     seen = (
         per_doc.join(term_counts, "term")
         .groupBy("id", "label")
-        .agg(
-            F.sum(F.col("tf") * F.log(F.col("n") + 1)).alias("seen_num"),
-            F.sum("tf").alias("seen_tf"),
-        )
+        .agg(F.sum(F.col("tf") * F.log(F.col("n") + 1)).alias("seen_num"))
     )
     # cross every doc with every label so zero-overlap labels still score
     scored = (

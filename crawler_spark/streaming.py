@@ -117,7 +117,12 @@ def stream_crawl(
             return  # not seeded yet — nothing to schedule
         stats = run_epoch(spark, store, epoch, cfg, robots_rules=robots_rules)
         state["epochs_run"] += 1
-        if stats["selected"] == 0:
+        # flip done as soon as the limit is REACHED (not on the next
+        # no-op batch) so await_crawl_stream never waits an extra
+        # trigger interval
+        if stats["selected"] == 0 or (
+            max_epochs is not None and state["epochs_run"] >= max_epochs
+        ):
             state["done"] = True
 
     stream = (
