@@ -313,3 +313,196 @@ def sql_embed_neardup_pairs(
         f"FROM s) "
         f"SELECT vec_a, vec_b, cos_sim FROM t WHERE cos_sim >= {threshold}"
     )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+NLIST = 16
+NPROBE = 4
+
+
+def _centroid_rows(emb: DataFrame, nlist: int) -> list:
+    """The coarse quantizer: `nlist` deterministic sampled centroids
+    (the corpus vectors with vec_id < nlist, double-cast). This is the
+    compact "model" of the index — nlist·DIM doubles, collected once
+    driver-side and inlined as literals, the scalar analogue of a
+    broadcast. A kmeans-trained quantizer (pyspark.ml KMeans) drops
+    into the same seam via `ivf_assign(centroids=...)`; the sampled
+    default is what keeps the whole operator closed-form for the
+    DuckDB oracle (no driver randomness, SURVEY §7 determinism rule)."""
+    rows = (
+        emb.filter(F.col("vec_id") < nlist)
+        .select("vec_id", _dvec("embedding").alias("cv"))
+        .collect()
+    )
+    return sorted((int(r.vec_id), list(r.cv)) for r in rows)
+
+
+def _lit_vec(vals: list) -> object:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _cell_scores(v, centroids: list) -> list:
+    """[(cell, cos(v, centroid_cell)) ...] as column expressions —
+    same left-fold double math as the DuckDB mirror."""
+    return [(cell, cosine(v, _lit_vec(cv))) for cell, cv in centroids]
+
+
+def ivf_assign(emb: DataFrame, nlist: int = NLIST, centroids: list | None = None) -> DataFrame:
+    """(vec_id, label, embedding, cell): nearest-centroid assignment as
+    a PURE PROJECTION — the corpus is never shuffled. Each row computes
+    cos against the nlist literal centroids inside one codegen'd
+    Project and takes argmax via array_max over (cos, -cell) structs
+    (max cos, ties → min cell). At 100 TB this is the only assignment
+    shape that costs zero exchanges: the explode+groupBy alternative
+    shuffles the corpus once per reindex."""
+    if centroids is None:
+        centroids = _centroid_rows(emb, nlist)
+    v = _dvec("embedding")
+    best = F.array_max(
+        F.array(*[
+            F.struct(c.alias("cos"), F.lit(-cell).alias("ncell"))
+            for cell, c in _cell_scores(v, centroids)
+        ])
+    )
+    return emb.select(
+        "vec_id", "label", "embedding",
+        (-best["ncell"]).cast("int").alias("cell"),
+    )
+
+
+def ivf_cell_census(emb: DataFrame, nlist: int = NLIST) -> DataFrame:
+    """(cell, n_vecs, min_vec_id): population of each inverted list —
+    the skew diagnostic for the probe join (a hot cell is a hot join
+    key; at scale it is the signal to re-train or split centroids)."""
+    return (
+        ivf_assign(emb, nlist)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    num_queries: int = 5,
+    k: int = 5,
+    nlist: int = NLIST,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(query_id, cand_id, cos_sim, rk): IVF approximate top-k — the
+    scale path between brute-force `cosine_topk` (exact, O(N·Q)) and
+    the sign-bit LSH (constant-recall buckets). Each query probes its
+    `nprobe` nearest cells and scores exactly ONLY the vectors assigned
+    there (~N·nprobe/nlist of the corpus).
+
+    Plan shape at 100 TB: corpus scan → assignment Project (zero
+    shuffle) → broadcast-join the (num_queries·nprobe)-row probe list
+    (query vector rides along, so no second corpus join) → exact
+    cosine → per-query top-k (WindowGroupLimit partial top-k per
+    partition before the single ≤Q·k exchange). The corpus is read
+    once and never shuffled. With nprobe == nlist the result is
+    bit-identical to cosine_topk (tests/test_new_operators.py)."""
+    centroids = _centroid_rows(emb, nlist)
+    assigned = ivf_assign(emb, nlist, centroids=centroids).select(
+        F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv"), "cell"
+    )
+
+    # probe list: per query, the nprobe nearest cells by (cos desc,
+    # cell asc) — sort_array desc on (cos, -cell) structs, slice, explode
+    qv = _dvec("embedding")
+    cells_sorted = F.sort_array(
+        F.array(*[
+            F.struct(c.alias("cos"), F.lit(-cell).alias("ncell"))
+            for cell, c in _cell_scores(qv, centroids)
+        ]),
+        asc=False,
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            qv.alias("qv"),
+            F.explode(F.slice(cells_sorted, 1, nprobe)).alias("pc"),
+        )
+        .select("query_id", "qv", (-F.col("pc.ncell")).cast("int").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    na = (
+        f"sqrt(list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> {a}[i] * {a}[i]), 'sum'))"
+    )
+    nb = (
+        f"sqrt(list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> {b}[i] * {b}[i]), 'sum'))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def _sql_ivf_core(nlist: int) -> str:
+    """Shared CTE prefix: centroids, double-cast corpus, all
+    (vector, cell) cosines, and the rn=1 assignment — the exact
+    row_number mirror of ivf_assign's (cos desc, cell asc) argmax."""
+    return (
+        f"c AS (SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv "
+        f"FROM embeddings WHERE vec_id < {nlist}), "
+        f"e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM embeddings), "
+        f"ac AS (SELECT e.vec_id, e.label, c.cell, {_sql_cos('v', 'cv')} AS cos "
+        f"FROM e CROSS JOIN c), "
+        f"asg AS (SELECT vec_id, label, cell, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM ac)"
+    )
+
+
+def sql_ivf_cell_census(nlist: int = NLIST) -> str:
+    return (
+        f"WITH {_sql_ivf_core(nlist)} "
+        f"SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id "
+        f"FROM asg WHERE rn = 1 GROUP BY cell"
+    )
+
+
+def sql_ivf_topk(
+    num_queries: int = 5, k: int = 5, nlist: int = NLIST, nprobe: int = NPROBE
+) -> str:
+    return (
+        f"WITH {_sql_ivf_core(nlist)}, "
+        f"p AS (SELECT vec_id AS query_id, cell FROM asg "
+        f"WHERE vec_id < {num_queries} AND rn <= {nprobe}), "
+        f"a1 AS (SELECT vec_id AS cand_id, cell FROM asg WHERE rn = 1), "
+        f"s AS (SELECT p.query_id, a1.cand_id FROM p JOIN a1 USING (cell) "
+        f"WHERE a1.cand_id <> p.query_id), "
+        f"sc AS (SELECT query_id, cand_id, "
+        f"round({_sql_cos('eq.v', 'ec.v')}, 6) AS cos_sim "
+        f"FROM s JOIN e eq ON eq.vec_id = s.query_id "
+        f"JOIN e ec ON ec.vec_id = s.cand_id), "
+        f"r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc) "
+        f"SELECT query_id, cand_id, cos_sim, rk FROM r WHERE rk <= {k}"
+    )

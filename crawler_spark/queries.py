@@ -1305,6 +1305,18 @@ def dd_embed_neardup(spark, sf_dir):
     return SIM.embed_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def ann_ivf_census(spark, sf_dir):
+    return SIM.ivf_cell_census(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: sampled coarse quantizer (nlist=16),
+    nprobe=4 — the middle rung of the ANN ladder (brute force / IVF /
+    sign-bit LSH). With nprobe=nlist it reproduces ann_cosine_topk
+    bit-for-bit (tests/test_new_operators.py pins that property)."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # full-epoch queries (no SQL oracle — rows-only driver check; the pytest
 # parity simulator is the exact oracle for these)
@@ -1501,6 +1513,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
     "dd_embed_neardup": (dd_embed_neardup, SIM.sql_embed_neardup_pairs()),
+    "ann_ivf_census": (ann_ivf_census, SIM.sql_ivf_cell_census()),
+    "ann_ivf_topk": (ann_ivf_topk, SIM.sql_ivf_topk()),
     # full-epoch / multimodal — golden-table value oracles: the
     # expected rows are INDEPENDENTLY precomputed (pure-Python parity
     # simulator for the epoch, pure-Python codecs for the multimodal
