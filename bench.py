@@ -120,7 +120,13 @@ def bench_frontier(spark) -> tuple[float, int]:
     from crawler_spark.state.snapshots import SnapshotStore
 
     cfg = EpochConfig(epoch_budget=None, num_buckets=64, use_bloom=False)
-    with tempfile.TemporaryDirectory() as tmp:
+    # SPARK_GRAFT_BENCH_STORE_DIR: parent dir for the snapshot store
+    # (e.g. /dev/shm for the scaling runs — models the executor-LOCAL
+    # SSDs of a real cluster, which scale with node count; the single
+    # shared /tmp disk here does not, and its write-back flusher is a
+    # fixed-bandwidth serial term both levels would otherwise share)
+    store_parent = os.environ.get("SPARK_GRAFT_BENCH_STORE_DIR") or None
+    with tempfile.TemporaryDirectory(dir=store_parent) as tmp:
         store = SnapshotStore(spark, tmp)
         seeds = fx.seeds_df(spark, FRONTIER_SEEDS, num_hosts=FRONTIER_HOSTS)
         robots = fx.robots_rules_df(spark, num_hosts=FRONTIER_HOSTS)
@@ -224,6 +230,22 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
             if not first:
                 time.sleep(cooldown)  # let the burstable host recover
             first = False
+            # bandwidth gate: the host's deliverable memory bandwidth
+            # oscillates ~1-2.5 vs ~6.5-8 GB/s single-thread on a
+            # timescale of minutes (co-tenant load, BASELINE.md). A
+            # trial launched in a degraded window measures the
+            # co-tenant, not the engine — wait (bounded) for a healthy
+            # window and record every sample so the gate itself is
+            # auditable in the JSON.
+            gate = []
+            min_gbps = float(os.environ.get("SPARK_GRAFT_SCALE_MIN_GBPS", "4.0"))
+            gate_wait = float(os.environ.get("SPARK_GRAFT_SCALE_GATE_WAIT", "600"))
+            gw0 = time.time()
+            while True:
+                gate.append(_mem_gbps())
+                if gate[-1] >= min_gbps or time.time() - gw0 > gate_wait:
+                    break
+                time.sleep(30)
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -235,9 +257,18 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 ),
             )
             s0, w0 = _cpu_sample(), time.time()
+            # pin the child's WHOLE process tree (JVM + python UDF
+            # workers, which inherit affinity) to exactly `cpus` CPUs:
+            # local[N] caps TASK SLOTS, not CPU — an unpinned local[2]
+            # job measured 3.3 achieved cores (JVM stages and python
+            # workers pipeline concurrently), silently shrinking the
+            # nominal 4x core ratio to ~2.3x. Pinning makes "N vs 4N
+            # cores" physically true. SPARK_GRAFT_SCALE_PIN=0 disables.
+            cmd = [sys.executable, __file__, "--frontier-only"]
+            if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0":
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, __file__, "--frontier-only"],
-                capture_output=True, text=True, env=env, cwd=REPO,
+                cmd, capture_output=True, text=True, env=env, cwd=REPO,
             )
             wall = time.time() - w0
             tele = _host_telemetry(s0, _cpu_sample(), wall)
@@ -264,6 +295,7 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                     child["frontier_host"].get("mem_gbps_after"),
                 ],
                 "proc_steal_pct": tele["steal_pct"],
+                "gate_mem_gbps": gate,
             })
     med = {c: sorted(v)[len(v) // 2] for c, v in rps.items()}
     speedup = med[hi] / med[lo]

@@ -298,6 +298,13 @@ def run_epoch(
                 F.count(F.lit(1)).alias("selected"),
                 F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
                 F.sum((F.col("status") != 200).cast("long")).alias("fetched_fail"),
+                # image-dedup lineage: rides this aggregate for free
+                # (phash is a pruned 8-byte column of the parquet the
+                # epoch just wrote); count_distinct skips the NULL it
+                # gets for non-200 rows
+                F.count_distinct(
+                    F.when(F.col("status") == 200, F.col("phash"))
+                ).alias("distinct_phash"),
             ),
             "host_bucket",
             "full_outer",
@@ -347,6 +354,7 @@ def run_epoch(
             "fetched_ok": r.fetched_ok or 0,
             "fetched_fail": r.fetched_fail or 0,
             "new_frontier": 0,
+            "distinct_phash": r.distinct_phash or 0,
         }
     for r in frows:
         row = merged.setdefault(
@@ -354,7 +362,7 @@ def run_epoch(
             {
                 "host_bucket": r.host_bucket, "candidates": 0, "admitted": 0,
                 "selected": 0, "fetched_ok": 0, "fetched_fail": 0,
-                "new_frontier": 0,
+                "new_frontier": 0, "distinct_phash": 0,
             },
         )
         row["new_frontier"] = r.new_frontier
@@ -371,6 +379,10 @@ def run_epoch(
         "selected": int(sum(r["selected"] for r in mrows)),
         "fetched_ok": int(sum(r["fetched_ok"] for r in mrows)),
         "fetched_fail": int(sum(r["fetched_fail"] for r in mrows)),
+        # within-bucket duplicate images this epoch (see METRICS_SCHEMA)
+        "dup_images": int(
+            sum(r["fetched_ok"] - r["distinct_phash"] for r in mrows)
+        ),
         "wall_ms": int((time.time() - t0) * 1000),
     }
     store.commit_epoch(epoch, _epoch_tables(), stats)

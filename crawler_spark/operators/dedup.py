@@ -313,3 +313,96 @@ def sql_jaccard_pairs(
         f"JOIN sizes sb ON sb.doc_id = doc_b "
         f"WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= {threshold}"
     )
+
+
+# -- perceptual-hash Hamming near-dup (image axis) --------------------------
+
+PHASH_BLOCKS = 6
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_block_layout(blocks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per block, covering all 64 bits; the first
+    64 % blocks blocks are one bit wider."""
+    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs, off = [], 0
+    for w in widths:
+        offs.append(off)
+        off += w
+    return list(zip(offs, widths))
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    blocks: int = PHASH_BLOCKS,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image pairs whose 64-bit perceptual
+    hashes differ in <= max_hamming bits — the canonical near-dup
+    operator for the fetched image corpus (input: image_id + the
+    `phash` int64 column the fetch UDF computes per payload).
+
+    Shape: Manku-Jain-Sarma block pigeonholing (WWW'07, simhash
+    dedup at Google scale), expressed relationally. The 64 bits split
+    into B blocks; a pair at Hamming distance <= d has its differing
+    bits inside <= d blocks, so SOME choice of B-d blocks is identical
+    for both — emit one exact-match key per C(B, B-d) block
+    combination (bit-concatenation of the chosen blocks), equi-self-
+    join on (combo, key), then verify candidates with one
+    bit_count(xor) <= d filter. EXACT: no false negatives by the
+    pigeonhole argument, false positives removed by the verify.
+
+    100 TB shape: keys per row = C(B, B-d) (20 at defaults), key
+    width = sum of B-d block widths (~32 bits at defaults) -> ~10^10
+    distinct buckets, so mean bucket occupancy stays ~N/10^10 and the
+    bucket self-join (the only shuffle) never goes quadratic; expected
+    candidate volume for random hashes is N^2 * C(B,B-d) / 2^32 —
+    raise `blocks` (wider combos, more keys) to trade key count for
+    specificity as N grows, exactly like the MinHash bands above.
+    No UDFs: block extraction and key packing are shift/and/or
+    column expressions inside codegen.
+    """
+    from itertools import combinations
+
+    layout = _phash_block_layout(blocks)
+    keep = blocks - max_hamming
+    if keep < 1:
+        raise ValueError("need blocks > max_hamming")
+    ph = F.col("phash")
+
+    def block(i: int):
+        off, w = layout[i]
+        return F.shiftrightunsigned(ph, off).bitwiseAND(F.lit((1 << w) - 1))
+
+    keys = []
+    for ci, combo in enumerate(combinations(range(blocks), keep)):
+        key = None
+        for i in combo:
+            _, w = layout[i]
+            key = block(i) if key is None else F.shiftleft(key, w).bitwiseOR(block(i))
+        keys.append(F.struct(F.lit(ci).alias("combo"), key.cast("long").alias("key")))
+
+    tagged = images.select(
+        "image_id", "phash", F.explode(F.array(*keys)).alias("bk")
+    ).select("image_id", "phash", F.col("bk.combo").alias("combo"), F.col("bk.key").alias("key"))
+
+    cand = (
+        tagged.alias("a")
+        .join(tagged.alias("b"), ["combo", "key"])
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.image_id").alias("id_b"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()  # a pair can match under several combos
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -388,6 +388,7 @@ def ivf_topk(
     k: int = 5,
     nlist: int = NLIST,
     nprobe: int = NPROBE,
+    centroids: list | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, cos_sim, rk): IVF approximate top-k — the
     scale path between brute-force `cosine_topk` (exact, O(N·Q)) and
@@ -401,8 +402,10 @@ def ivf_topk(
     cosine → per-query top-k (WindowGroupLimit partial top-k per
     partition before the single ≤Q·k exchange). The corpus is read
     once and never shuffled. With nprobe == nlist the result is
-    bit-identical to cosine_topk (tests/test_new_operators.py)."""
-    centroids = _centroid_rows(emb, nlist)
+    bit-identical to cosine_topk (tests/test_ivf.py), with either
+    quantizer."""
+    if centroids is None:
+        centroids = _centroid_rows(emb, nlist)
     assigned = ivf_assign(emb, nlist, centroids=centroids).select(
         F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv"), "cell"
     )

@@ -1288,6 +1288,60 @@ def dd_jaccard(spark, sf_dir):
     return DD.jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic phash corpus for the image near-dup operator: one
+# 60-bit hash per "image" (doc_id), with planted near-duplicates —
+# every decade's 7-row is its 0-row's phash with 3 bits flipped
+# (found at d=3), the 8-row with 1 bit (found), the 9-row with 5
+# bits (correctly NOT found). Pure column expressions in both
+# dialects, so the DuckDB oracle can brute-force the ground truth.
+_PH_M3 = (1 << 2) | (1 << 25) | (1 << 55)
+_PH_M1 = 1 << 40
+_PH_M5 = (1 << 3) | (1 << 17) | (1 << 29) | (1 << 44) | (1 << 59)
+
+
+def _phash_images(spark, sf_dir):
+    from .functions.url import hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    own = hash60(F.concat(F.lit("ph:"), F.col("doc_id").cast("string")))
+    partner = (F.col("doc_id") - F.pmod(F.col("doc_id"), 10)).cast("long")
+    base = hash60(F.concat(F.lit("ph:"), partner.cast("string")))
+    r = F.pmod(F.col("doc_id"), 10)
+    phash = (
+        F.when(r == 7, base.bitwiseXOR(F.lit(_PH_M3)))
+        .when(r == 8, base.bitwiseXOR(F.lit(_PH_M1)))
+        .when(r == 9, base.bitwiseXOR(F.lit(_PH_M5)))
+        .otherwise(own)
+    )
+    return d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+
+
+def dd_phash_neardup(spark, sf_dir):
+    """Image-axis near-dup: 64-bit perceptual-hash pairs within
+    Hamming distance 3 via Manku-style block pigeonholing (C(6,3)
+    exact-match band keys, the only shuffle) + bit_count(xor)
+    verify. The oracle brute-forces all pairs — a STRONGER check
+    than mirroring the banding: it proves the pigeonhole generates
+    every qualifying pair (no false negatives)."""
+    return DD.phash_neardup_pairs(_phash_images(spark, sf_dir))
+
+
+def _sql_dd_phash() -> str:
+    own = sql_hash60("'ph:' || doc_id")
+    base = sql_hash60("'ph:' || (doc_id - doc_id % 10)")
+    return (
+        f"WITH ph AS (SELECT doc_id AS image_id, CASE doc_id % 10 "
+        f"WHEN 7 THEN xor({base}, {_PH_M3}) "
+        f"WHEN 8 THEN xor({base}, {_PH_M1}) "
+        f"WHEN 9 THEN xor({base}, {_PH_M5}) "
+        f"ELSE {own} END AS phash FROM documents) "
+        f"SELECT a.image_id AS id_a, b.image_id AS id_b, "
+        f"bit_count(xor(a.phash, b.phash))::INTEGER AS hamming "
+        f"FROM ph a JOIN ph b ON a.image_id < b.image_id "
+        f"WHERE bit_count(xor(a.phash, b.phash)) <= {DD.PHASH_MAX_HAMMING}"
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -1509,6 +1563,7 @@ REGISTRY: dict[str, tuple] = {
     "dd_minhash_pairs": (dd_minhash_pairs, DD.sql_lsh_candidate_pairs()),
     "dd_simhash": (dd_simhash, DD.sql_simhash()),
     "dd_jaccard": (dd_jaccard, DD.sql_jaccard_pairs()),
+    "dd_phash_neardup": (dd_phash_neardup, _sql_dd_phash()),
     # similarity
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),

@@ -82,6 +82,11 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("fetched_ok", T.LongType()),
     T.StructField("fetched_fail", T.LongType()),
     T.StructField("new_frontier", T.LongType()),
+    # image-dedup lineage (north-rule "fetch/dedup metrics"): distinct
+    # phash64 among the bucket's OK fetches this epoch; fetched_ok -
+    # distinct_phash = duplicate images the bucket fetched (within-
+    # bucket count — a global distinct would need its own shuffle)
+    T.StructField("distinct_phash", T.LongType()),
 ])
 
 FETCHED_SCHEMA = T.StructType(

@@ -63,3 +63,36 @@ def test_partial_probe_recall_and_coverage(emb):
     for r in approx:
         per_q.setdefault(r.query_id, []).append(r.rk)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_kmeans_trained_centroids_seam(emb):
+    """The sampled quantizer is the oracle-able default; a TRAINED
+    coarse quantizer (pyspark.ml KMeans, fixed seed) drops into the
+    same `centroids=` seam. Trained cells must (a) partition the
+    corpus and (b) give full-probe results identical to brute force
+    (probing everything makes the quantizer irrelevant)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import ivf_assign
+
+    train = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=16, seed=42, maxIter=10).fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+    assigned = ivf_assign(emb, nlist=16, centroids=centroids)
+    rows = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in rows) == 400
+
+    exact = _key(cosine_topk(emb, num_queries=5, k=5).collect())
+    full = _key(
+        ivf_topk(
+            emb, num_queries=5, k=5, nlist=16, nprobe=16, centroids=centroids
+        ).collect()
+    )
+    assert full == exact

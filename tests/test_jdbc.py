@@ -25,7 +25,8 @@ def _derby_url(tmp_path) -> str:
 @pytest.fixture()
 def metrics_df(spark):
     rows = [
-        (b, 100 + b, 80 + b, 60 + b, 50 + b, 10 + b, 200 + b) for b in range(16)
+        (b, 100 + b, 80 + b, 60 + b, 50 + b, 10 + b, 200 + b, 45 + b)
+        for b in range(16)
     ]
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 

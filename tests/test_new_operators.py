@@ -437,3 +437,66 @@ def test_await_crawl_stream_clean_stop(spark, store_dir):
     assert not q.isActive
     assert q.exception() is None
     assert store.latest_epoch() >= 1
+
+
+def test_fetch_events_from_real_store(spark, store_dir):
+    """VERDICT r2 item 8: the politeness monitors run off the REAL
+    store. fetch_events reconstructs the scheduler's deterministic
+    fetch timeline; windowed_fetch_metrics/sessionized_hosts consume
+    it in batch AND streaming mode with identical results."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.epoch import EpochConfig, run_crawl
+    from crawler_spark.state.snapshots import SnapshotStore
+    from crawler_spark.streaming import (
+        fetch_events,
+        sessionized_hosts,
+        windowed_fetch_metrics,
+    )
+
+    cfg = EpochConfig(epoch_budget=400)
+    robots = fx.robots_rules_df(spark)
+    store = SnapshotStore(spark, store_dir + "/ev")
+    run_crawl(
+        spark, store, fx.seeds_df(spark, 150), cfg,
+        num_epochs=2, robots_rules=robots,
+    )
+
+    events = fetch_events(store, robots, epoch_seconds=3600.0)
+    n_fetched = store.read_upto("fetched").count()
+    assert events.count() == n_fetched
+
+    # slots within one (epoch, host) are crawl_delay apart -> a host's
+    # epoch burst is ONE session at gap "30 minutes"; epochs are 1h
+    # apart -> sessions never span epochs
+    w = windowed_fetch_metrics(events, window="1 hour").collect()
+    assert sum(r.fetches for r in w) == n_fetched
+    ok = store.read_upto("fetched").filter(F.col("status") == 200).count()
+    assert sum(r.ok for r in w) == ok
+
+    sess = sessionized_hosts(events, gap="30 minutes").collect()
+    assert sum(r.n_fetches for r in sess) == n_fetched
+    n_eh = (
+        store.read_upto("fetched").select("epoch", "host").distinct().count()
+    )
+    assert len(sess) == n_eh  # one session per (epoch, host) burst
+
+    # same operators, streaming deployment: file source over the same
+    # events, processAllAvailable, complete-mode memory sink
+    src = store_dir + "/ev_src"
+    events.write.parquet(src)
+    se = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_fetch_metrics(se, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("wfm_store")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT sum(fetches) AS f, sum(ok) AS o FROM wfm_store"
+        ).collect()[0]
+        assert (got.f, got.o) == (n_fetched, ok)
+    finally:
+        q.stop()

@@ -162,3 +162,30 @@ def test_fetch_method_column(spark):
     methods = {r.url_canon: r.method for r in out}
     assert methods["https://h0.example/api/1"] == "POST"
     assert methods["https://h0.example/post/2"] == "GET"
+
+
+def test_metrics_distinct_phash_parity(crawl):
+    """Image-dedup lineage: the per-(epoch, bucket) distinct_phash in
+    the metrics table equals the simulator's ground truth (distinct
+    payload phash among that bucket's OK fetches that epoch)."""
+    from crawler_spark.functions.url import py_xxhash64
+
+    store, sim, stats = crawl
+    nb = 8  # cfg.num_buckets of the crawl fixture
+
+    expected: dict[tuple[int, int], set] = {}
+    for (epoch, rank, uh, url, host, depth, prio) in sim.visited_rows:
+        b = py_xxhash64(host) % nb  # pmod semantics: non-negative
+        expected.setdefault((epoch, b), set()).add(sim.images[uh]["phash"])
+
+    m = store.read_upto("metrics")
+    got = {
+        (r.epoch, r.host_bucket): r.distinct_phash
+        for r in m.filter(F.col("fetched_ok") > 0).collect()
+    }
+    assert got == {k: len(v) for k, v in expected.items()}
+    # and the driver-side stat is the within-bucket dup count
+    for s in stats:
+        assert s["dup_images"] == s["fetched_ok"] - sum(
+            len(v) for (e, _), v in expected.items() if e == s["epoch"]
+        )
