@@ -45,7 +45,11 @@ from .operators import admission, fetch as fetch_op, schedule
 from .operators.jobtype import job_type
 from .operators.priority import priority_score
 from .state.bloom import BloomSeenSet
-from .state.snapshots import METRICS_SCHEMA, SnapshotStore
+from .state.snapshots import (
+    METRICS_SCHEMA,
+    PAYLOAD_WRITE_OPTIONS,
+    SnapshotStore,
+)
 
 
 @dataclass
@@ -245,7 +249,9 @@ def run_epoch(
     # is the only plan shape that survives the scale-up).
     results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
     tp = _tlog("plan", t0)
-    store.write_table(epoch, "fetched", results)
+    store.write_table(
+        epoch, "fetched", results, options=PAYLOAD_WRITE_OPTIONS
+    )
     tp = _tlog("fetch+write", tp)
     fetched = store.read_table(epoch, "fetched")
 
@@ -320,8 +326,13 @@ def run_epoch(
     def write_frontier_and_count():
         # same thread: write the delta, then aggregate new_frontier per
         # bucket from the just-written parquet (tiny pruned scan) — the
-        # count overlaps the other jobs instead of trailing them
-        store.write_table(epoch, "frontier", emit_links(ok), True)
+        # count overlaps the other jobs instead of trailing them.
+        # No rebalance: emit_links ends in the dedup groupBy shuffle,
+        # and AQE coalesces its reads to the advisory size, so the
+        # write already inherits right-sized partitions — a REBALANCE
+        # here re-shuffled the full multi-hundred-MB link delta for
+        # an identical file layout.
+        store.write_table(epoch, "frontier", emit_links(ok))
         return by_bucket(store.read_table(epoch, "frontier"), "new_frontier").collect()
 
     with ThreadPoolExecutor(max_workers=4) as pool:

@@ -126,6 +126,10 @@ FULL_STATE_TABLES = {"failed"}
 # (status==200) unless an epoch explicitly committed them
 VIRTUAL_FROM_FETCHED = {"visited", "images"}
 
+# Writer options for the payload table: image bytes are pre-compressed
+# content, so a parquet codec is pure CPU burn (see write_table doc).
+PAYLOAD_WRITE_OPTIONS = {"compression": "uncompressed"}
+
 
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str | Path):
@@ -169,7 +173,12 @@ class SnapshotStore:
     # -- write ---------------------------------------------------------------
 
     def write_table(
-        self, epoch: int, name: str, df: DataFrame, rebalance: bool = False
+        self,
+        epoch: int,
+        name: str,
+        df: DataFrame,
+        rebalance: bool = False,
+        options: dict[str, str] | None = None,
     ) -> None:
         """Write one table's epoch partition WITHOUT committing the
         manifest — the write-once seam: heavy outputs (the fetched
@@ -182,10 +191,27 @@ class SnapshotStore:
         delta, many at TB scale) instead of inheriting the upstream
         task count — writing a 2k-row delta through 32 tiny tasks
         costs ~1-2 s of pure scheduling per table. Not used for the
-        payload table, whose bytes would pay a full extra shuffle."""
+        payload table, whose bytes would pay a full extra shuffle —
+        and not needed when the producing plan already ends in a
+        shuffle: AQE coalesces that shuffle's reads to the advisory
+        size, so the write inherits right-sized partitions for free.
+
+        ``options``: extra parquet writer options. The payload table
+        passes ``compression=uncompressed`` (PAYLOAD_WRITE_OPTIONS):
+        image bytes are already compressed on the wire, so snappy
+        spends a full encode pass for a measured +1.4 % size "win" —
+        the A/B (tools/parquet_codec_ab.py, local[8], 671k rows /
+        3 GB) measured the codec at roughly half the write's CPU with
+        byte-identical reads. At 100 TB the same holds: binary image
+        columns ship uncompressed; only the small string/metadata
+        columns would benefit from a codec, and they are a ~1 % of
+        the bytes."""
         path = self.root / name / f"epoch={epoch}"
         out = df.hint("rebalance") if rebalance else df
-        out.write.mode("overwrite").parquet(str(path))
+        w = out.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.parquet(str(path))
 
     def read_table(self, epoch: int, name: str) -> DataFrame:
         """Read back one (possibly not-yet-committed) epoch partition."""
