@@ -32,8 +32,8 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-VISITED_N = int(os.environ.get("BLOOM_EV_VISITED", "5000000"))
-CAND_N = int(os.environ.get("BLOOM_EV_CAND", "2000000"))
+VISITED_N = int(os.environ.get("BLOOM_EV_VISITED", "20000000"))
+CAND_N = int(os.environ.get("BLOOM_EV_CAND", "4000000"))
 SEEN_FRAC = 0.1
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
@@ -121,8 +121,10 @@ def main() -> None:
             f.write(
                 "\n## F5 bloom path at scale (visited past broadcast"
                 " threshold)\n\n"
-                f"_{VISITED_N:,} visited keys (~40 MB key projection >"
-                " 10 MB autoBroadcastJoinThreshold), "
+                f"_{VISITED_N:,} visited keys (~{VISITED_N * 8 / 1e6:.0f}"
+                " MB key projection > the session's"
+                f" {int(spark.conf.get('spark.sql.autoBroadcastJoinThreshold')) / 1e6:.0f}"
+                " MB autoBroadcastJoinThreshold), "
                 f"{CAND_N:,} candidates, {int(SEEN_FRAC*100)} % true"
                 " dups. Without the Bloom the exact anti-join"
                 " shuffle-sorts EVERY candidate; with it only"
