@@ -14,8 +14,15 @@ Per epoch (SURVEY §3.2 mapping):
                emit via the closed-form graph), metrics per host_bucket
   commit     = SnapshotStore.write_epoch (atomic manifest)
 
-Counter semantics (candidates/admitted) use ``df.observe`` so no extra
-pass over the data is spent on metrics. Resume (F16): the controller
+Counter semantics (candidates/admitted) and per-bucket lineage are
+computed as two dedicated per-host_bucket aggregate jobs over the
+(cheap, columnar) upstream plan — deliberately NOT via ``df.observe``
+or ``persist()``: observe can't produce per-bucket rows, and pinning
+the fetch subtree with persist() measured ~4x worse because the cached
+fragment froze its shuffle plan and AQE could no longer convert the
+visited anti-join into a runtime broadcast inside the fetch job.
+Recomputing the columnar prefix is cheaper than losing that rewrite.
+Resume (F16): the controller
 restarts from ``store.latest_epoch()+1``; an epoch interrupted before
 its manifest commit is invisible and re-runs identically (all inputs
 are functions of committed state + the deterministic world).
@@ -208,18 +215,45 @@ def run_epoch(
     candidates = dedup_candidates(raw_candidates)
 
     bloom = None
+    engage = bool(cfg.use_bloom) and cfg.use_bloom != "auto"
+    est = None
     if cfg.use_bloom == "auto":
         # estimated visited size = sum of committed fetched_ok stats —
         # a manifest (JSON) read, not a count() job; the 1.2x headroom
         # only pads the filter's fpp sizing
         est = store.stats_sum("fetched_ok", upto=epoch - 1)
-        if est >= cfg.bloom_auto_threshold:
+        engage = est >= cfg.bloom_auto_threshold
+    seen_filter = None
+    if engage:
+        recrawl_keys = store.recrawl_hashes(upto=epoch - 1)
+        if recrawl_keys.size:
+            # recrawl tombstones exist → the seen structure must support
+            # deletion, so the pre-filter is the CUCKOO variant: build
+            # over the RAW visited projection (pre-tombstone), then
+            # delete the tombstoned fingerprints — exactly what a
+            # persistent filter on a real cluster does instead of a
+            # rebuild (counting deletes: a URL recrawled twice has two
+            # tombstones matching its two extra visited copies, so
+            # inserted-minus-deleted copies is never negative and
+            # no-false-negatives holds for still-visited keys).
+            from .state.cuckoo import CuckooSeenSet
+
+            raw_visited = store.read_upto(
+                "visited", epoch - 1, include_recrawled=True
+            ).select("url_hash")
+            bloom = CuckooSeenSet.build(
+                raw_visited, "url_hash",
+                expected_keys=(int(est * 1.2) if est else None),
+            )
+            bloom.delete(recrawl_keys)
+            seen_filter = "cuckoo"
+        else:
             bloom = BloomSeenSet.build(
                 visited, "url_hash",
-                expected_keys=int(est * 1.2), fpp=cfg.bloom_fpp,
+                expected_keys=(int(est * 1.2) if est else None),
+                fpp=cfg.bloom_fpp,
             )
-    elif cfg.use_bloom:
-        bloom = BloomSeenSet.build(visited, "url_hash", fpp=cfg.bloom_fpp)
+            seen_filter = "bloom"
 
     admitted = admission.admit(
         candidates,
@@ -394,6 +428,10 @@ def run_epoch(
         "dup_images": int(
             sum(r["fetched_ok"] - r["distinct_phash"] for r in mrows)
         ),
+        # which approximate pre-filter guarded the admission anti-join
+        # this epoch: None (exact join only), "bloom", or "cuckoo"
+        # (deletable — engaged when recrawl tombstones exist)
+        "seen_filter": seen_filter,
         "wall_ms": int((time.time() - t0) * 1000),
     }
     store.commit_epoch(epoch, _epoch_tables(), stats)
@@ -479,13 +517,16 @@ def run_crawl(
 
     F14 (smart_crawler.py:780-783): when an epoch selects nothing and
     ``reseed=True``, the seed list is re-injected as a fresh frontier
-    delta ONCE and the loop continues (a recrawl would first delete
-    from the seen set — the cuckoo filter's reason to exist); without
+    delta ONCE and the loop continues; to instead re-fetch SEEN urls,
+    call :func:`recrawl` (deletes from the seen set via tombstones +
+    the cuckoo filter's counting delete) and resume the loop. Without
     reseed the loop stops early (horizon exhausted).
     """
     start = store.latest_epoch() + 1
     if start == 0:
+        t0 = time.time()
         store.write_epoch(0, {"frontier": seeds_to_frontier(seeds)}, stats={"seeded": True})
+        _tlog("seed-write", t0)
         start = 1
     machine = PhaseMachine()
     all_stats = []
@@ -511,3 +552,45 @@ def run_crawl(
                 break
         epoch += 1
     return all_stats
+
+
+def recrawl(spark: SparkSession, store: SnapshotStore, urls: list[str]) -> dict:
+    """Forget URLs from the URL-seen set so the next epoch re-fetches
+    them — the deletable-seen-set semantics the cuckoo filter exists
+    for (reference smart_crawler.py's periodic re-crawl of known pages;
+    state/cuckoo.py implements the filter, this wires it into a flow).
+
+    Mechanics (all snapshot-native, nothing is rewritten in place):
+
+    * commit a ``recrawl`` tombstone epoch holding the url_hashes —
+      ``read_upto("visited")`` anti-joins tombstones out (a tombstone
+      at epoch T kills visited rows with epoch <= T only, so the
+      re-fetch's NEW visited row at a later epoch survives);
+    * re-admission is automatic: the URLs' original frontier-delta rows
+      still exist (the frontier is append-only), and once they stop
+      matching ``visited`` the next epoch's admission anti-join lets
+      them through again with their original depth/parent — so the
+      re-fetch is bit-identical to the first fetch in the deterministic
+      world (parity test: tests/test_recrawl.py);
+    * when the approximate pre-filter is engaged, ``run_epoch`` sees
+      the tombstones and switches Bloom → cuckoo, replaying the
+      tombstones as counting ``delete``s on the built filter.
+
+    Only currently-visited URLs are tombstoned (a semi-join guards the
+    write): deleting a never-inserted key from a cuckoo filter could
+    evict a colliding key's fingerprint and create a false negative.
+
+    Returns {"epoch": tombstone epoch, "recrawled": #tombstones}.
+    """
+    e = store.latest_epoch() + 1
+    req = dedup_candidates(
+        seeds_to_frontier(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        ).withColumn("attempt", F.lit(1))
+    ).select("url_hash")
+    visited_now = store.read_upto("visited", e - 1).select("url_hash")
+    tomb = req.join(visited_now, "url_hash", "left_semi")
+    store.write_table(e, "recrawl", tomb, rebalance=True)
+    n = store.read_table(e, "recrawl").count()
+    store.commit_epoch(e, ["recrawl"], {"recrawled": int(n)})
+    return {"epoch": e, "recrawled": int(n)}

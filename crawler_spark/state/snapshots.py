@@ -111,7 +111,13 @@ FETCHED_SCHEMA = T.StructType(
     ]
 )
 
-TABLES = ("frontier", "visited", "failed", "fetched", "metrics")
+# recrawl tombstones (F14/cuckoo path): a url_hash committed at epoch T
+# deletes that URL's visited rows with epoch <= T, so the next epoch
+# re-admits it. Append-only like the other deltas — a re-fetch at
+# epoch > T writes a NEW visited row that the tombstone cannot reach.
+RECRAWL_SCHEMA = T.StructType([T.StructField("url_hash", T.LongType())])
+
+TABLES = ("frontier", "visited", "failed", "fetched", "metrics", "recrawl")
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "visited": VISITED_SCHEMA,
@@ -119,6 +125,7 @@ SCHEMAS = {
     "images": IMAGES_SCHEMA,
     "fetched": FETCHED_SCHEMA,
     "metrics": METRICS_SCHEMA,
+    "recrawl": RECRAWL_SCHEMA,
 }
 # tables whose epoch=N dir is the COMPLETE state (not a delta)
 FULL_STATE_TABLES = {"failed"}
@@ -268,7 +275,12 @@ class SnapshotStore:
             "basePath", str(self._table_root(table))
         ).parquet(*paths)
 
-    def read_upto(self, table: str, epoch: int | None = None) -> DataFrame:
+    def read_upto(
+        self,
+        table: str,
+        epoch: int | None = None,
+        include_recrawled: bool = False,
+    ) -> DataFrame:
         """All committed rows of `table` at or before `epoch` (partition-
         pruned). FULL_STATE tables return only the latest committed
         epoch<=E. Uncommitted (post-manifest) epoch dirs are excluded.
@@ -280,7 +292,17 @@ class SnapshotStore:
         projection, while epochs that committed a materialized
         visited/images partition (older-format stores) contribute their
         own rows — the union keeps mixed-format manifests exact instead
-        of silently dropping the newer epochs."""
+        of silently dropping the newer epochs.
+
+        ``visited`` additionally subtracts recrawl tombstones: a
+        tombstone committed at epoch T kills visited rows with
+        row.epoch <= T (a re-fetch after the recrawl writes a newer row
+        that survives). The tombstone set is tiny (explicit recrawl
+        requests), so the anti-join broadcasts. ``include_recrawled=
+        True`` skips the subtraction — the RAW projection a deletable
+        approximate filter (cuckoo) must be built from before its
+        ``delete`` replays the tombstones. ``images`` stays an
+        append-only payload archive (recrawl never deletes data)."""
         if epoch is None:
             epoch = self.latest_epoch()
         manifest = self._read_manifest()
@@ -310,7 +332,38 @@ class SnapshotStore:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if table == "visited" and not include_recrawled:
+            rc = self._committed_epochs(manifest, "recrawl", epoch)
+            if rc:
+                tomb = self._read_epochs("recrawl", rc).select(
+                    F.col("url_hash").alias("__rc_hash"),
+                    F.col("epoch").alias("__rc_epoch"),
+                )
+                out = out.join(
+                    F.broadcast(tomb),
+                    (F.col("url_hash") == F.col("__rc_hash"))
+                    & (F.col("epoch") <= F.col("__rc_epoch")),
+                    "left_anti",
+                )
         return out
+
+    def recrawl_hashes(self, upto: int | None = None):
+        """All committed recrawl tombstone url_hashes at or before
+        ``upto`` as a driver-side int64 numpy array (NOT deduped — a URL
+        recrawled twice has two tombstones, matching its two extra
+        visited copies for the cuckoo filter's counting deletes).
+        Returns an empty array with ZERO Spark jobs when no recrawl
+        epoch was ever committed (the overwhelmingly common case)."""
+        import numpy as np
+
+        if upto is None:
+            upto = self.latest_epoch()
+        manifest = self._read_manifest()
+        rc = self._committed_epochs(manifest, "recrawl", upto)
+        if not rc:
+            return np.zeros(0, dtype=np.int64)
+        rows = self._read_epochs("recrawl", rc).select("url_hash").collect()
+        return np.array([r[0] for r in rows], dtype=np.int64)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
