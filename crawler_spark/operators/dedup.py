@@ -332,10 +332,35 @@ def _phash_block_layout(blocks: int) -> list[tuple[int, int]]:
     return list(zip(offs, widths))
 
 
+def blocks_for_corpus(
+    n_images: int,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    target_bucket: int = 32,
+    hi: int = 16,
+) -> int:
+    """Block count sized from the corpus so expected bucket population
+    stays ~``target_bucket`` as N grows — the planes_for_corpus rule
+    applied to the pigeonhole banding. A combo key is
+    width = 64·(B-d)/B bits and a row emits C(B, d) keys, so require
+    2^width >= n·C(B,d)/target_bucket; the smallest qualifying B keeps
+    the per-row key cost C(B, d) minimal. Pinned points: B=6 (the
+    static default) is exactly the answer at n = 10^9 images, d=3;
+    10^12 images → B=9 (~47-bit keys, 84 keys/row)."""
+    from math import comb
+
+    d = max_hamming
+    n = max(1, n_images)
+    for b in range(d + 1, hi + 1):
+        width = (64 * (b - d)) // b
+        if 2.0 ** width >= n * comb(b, d) / target_bucket:
+            return b
+    return hi
+
+
 def phash_neardup_pairs(
     images: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
-    blocks: int = PHASH_BLOCKS,
+    blocks: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming): image pairs whose 64-bit perceptual
     hashes differ in <= max_hamming bits — the canonical near-dup
@@ -361,9 +386,17 @@ def phash_neardup_pairs(
     specificity as N grows, exactly like the MinHash bands above.
     No UDFs: block extraction and key packing are shift/and/or
     column expressions inside codegen.
+
+    ``blocks=None`` derives the block count from a corpus count()
+    via :func:`blocks_for_corpus` (one metadata-cheap job; a table
+    statistic on a real deployment). Pass it explicitly to pin the
+    plan — the registry pins PHASH_BLOCKS=6 (= blocks_for_corpus at
+    10^9 images) so the static DuckDB oracle mirrors it exactly.
     """
     from itertools import combinations
 
+    if blocks is None:
+        blocks = blocks_for_corpus(images.count(), max_hamming)
     layout = _phash_block_layout(blocks)
     keep = blocks - max_hamming
     if keep < 1:

@@ -319,6 +319,9 @@ def sql_embed_neardup_pairs(
 
 NLIST = 16
 NPROBE = 4
+# largest quantizer that stays a literal expression tree (codegen-safe
+# and DuckDB-oracle-able); past it the Arrow matmul path takes over
+LITERAL_NLIST_MAX = 64
 
 
 def _centroid_rows(emb: DataFrame, nlist: int) -> list:
@@ -348,16 +351,119 @@ def _cell_scores(v, centroids: list) -> list:
     return [(cell, cosine(v, _lit_vec(cv))) for cell, cv in centroids]
 
 
-def ivf_assign(emb: DataFrame, nlist: int = NLIST, centroids: list | None = None) -> DataFrame:
+def _centroid_matrix(centroids: list):
+    """(cells int64[L], row-normalized float64[L, D] matrix) from a
+    [(cell, vector), ...] quantizer — rows sorted by cell so numpy
+    argmax's first-hit tie-break reproduces the literal path's
+    (cos desc, cell asc) rule."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    cells = np.array([c for c, _ in cents], dtype=np.int64)
+    M = np.array([v for _, v in cents], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return cells, M
+
+
+def _ivf_assign_arrow(emb: DataFrame, centroids: list) -> DataFrame:
+    """Nearest-centroid assignment for LARGE nlist: the centroid matrix
+    is broadcast ONCE (explicit sc.broadcast, not a per-task closure
+    pickle) and each Arrow batch scores with one numpy matmul
+    (B×D @ D×L) + argmax. No literal expression tree, so nlist reaches
+    the N/10^4 regime of a 10^9-vector corpus (10^5 centroids · 64 dims
+    ≈ 50 MB broadcast) where the literal Project stops compiling. The
+    plan shape is unchanged: mapInPandas is a per-partition map — the
+    corpus is still never shuffled."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cells, M = _centroid_matrix(centroids)
+    bc = emb.sparkSession.sparkContext.broadcast((cells, M))
+    in_cols = [f.name for f in emb.schema.fields]
+    out_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        cells_, M_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # |v| is constant per row → argmax over v·ĉ is argmax of cos
+            best = (V @ M_.T).argmax(axis=1)
+            out = pdf[in_cols].copy()
+            out["cell"] = cells_[best].astype("int32")
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
+
+
+def _ivf_probes_arrow(
+    queries: DataFrame, centroids: list, nprobe: int
+) -> DataFrame:
+    """(query_id, qv array<double>, cell): each query's nprobe nearest
+    cells by (cos desc, cell asc) — same broadcast matmul; stable
+    argsort keeps the tie-break."""
+    import numpy as np
+
+    cells, M = _centroid_matrix(centroids)
+    bc = queries.sparkSession.sparkContext.broadcast((cells, M))
+
+    def probe(batches):
+        import pandas as pd
+
+        cells_, M_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            order = np.argsort(-(V @ M_.T), axis=1, kind="stable")[:, :nprobe]
+            n = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy().repeat(n),
+                    "qv": [list(r) for r in np.repeat(V, n, axis=0)],
+                    "cell": cells_[order].ravel().astype("int32"),
+                }
+            )
+
+    return queries.mapInPandas(
+        probe, "query_id long, qv array<double>, cell int"
+    )
+
+
+def _resolve_mode(mode: str, centroids: list) -> str:
+    if mode == "auto":
+        return "literal" if len(centroids) <= LITERAL_NLIST_MAX else "arrow"
+    return mode
+
+
+def ivf_assign(
+    emb: DataFrame,
+    nlist: int = NLIST,
+    centroids: list | None = None,
+    mode: str = "auto",
+) -> DataFrame:
     """(vec_id, label, embedding, cell): nearest-centroid assignment as
-    a PURE PROJECTION — the corpus is never shuffled. Each row computes
-    cos against the nlist literal centroids inside one codegen'd
-    Project and takes argmax via array_max over (cos, -cell) structs
-    (max cos, ties → min cell). At 100 TB this is the only assignment
-    shape that costs zero exchanges: the explode+groupBy alternative
-    shuffles the corpus once per reindex."""
+    a zero-shuffle per-row map. Two physical forms behind one argmax
+    semantics (max cos, ties → min cell):
+
+    * ``literal`` (nlist <= LITERAL_NLIST_MAX): centroids expand as
+      literal array expressions inside one codegen'd Project —
+      closed-form, DuckDB-oracle-able, no Python workers at all;
+    * ``arrow`` (large nlist): broadcast centroid matrix + one numpy
+      matmul per Arrow batch (_ivf_assign_arrow) — the 10^9-vector
+      shape where nlist ≈ N/10^4 and a literal tree would neither
+      compile nor plan.
+
+    ``auto`` picks by quantizer size. Either way the corpus is never
+    shuffled — the explode+groupBy alternative shuffles the corpus
+    once per reindex."""
     if centroids is None:
         centroids = _centroid_rows(emb, nlist)
+    if _resolve_mode(mode, centroids) == "arrow":
+        return _ivf_assign_arrow(emb, centroids)
     v = _dvec("embedding")
     best = F.array_max(
         F.array(*[
@@ -366,7 +472,7 @@ def ivf_assign(emb: DataFrame, nlist: int = NLIST, centroids: list | None = None
         ])
     )
     return emb.select(
-        "vec_id", "label", "embedding",
+        *[f.name for f in emb.schema.fields],
         (-best["ncell"]).cast("int").alias("cell"),
     )
 
@@ -389,6 +495,7 @@ def ivf_topk(
     nlist: int = NLIST,
     nprobe: int = NPROBE,
     centroids: list | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """(query_id, cand_id, cos_sim, rk): IVF approximate top-k — the
     scale path between brute-force `cosine_topk` (exact, O(N·Q)) and
@@ -396,39 +503,46 @@ def ivf_topk(
     `nprobe` nearest cells and scores exactly ONLY the vectors assigned
     there (~N·nprobe/nlist of the corpus).
 
-    Plan shape at 100 TB: corpus scan → assignment Project (zero
-    shuffle) → broadcast-join the (num_queries·nprobe)-row probe list
-    (query vector rides along, so no second corpus join) → exact
-    cosine → per-query top-k (WindowGroupLimit partial top-k per
-    partition before the single ≤Q·k exchange). The corpus is read
-    once and never shuffled. With nprobe == nlist the result is
-    bit-identical to cosine_topk (tests/test_ivf.py), with either
-    quantizer."""
+    Plan shape at 100 TB: corpus scan → assignment map (zero shuffle;
+    literal Project for small nlist, broadcast-matmul mapInPandas past
+    LITERAL_NLIST_MAX — see ivf_assign) → broadcast-join the
+    (num_queries·nprobe)-row probe list (query vector rides along, so
+    no second corpus join) → exact cosine → per-query top-k
+    (WindowGroupLimit partial top-k per partition before the single
+    ≤Q·k exchange). The corpus is read once and never shuffled. With
+    nprobe == nlist the result is bit-identical to cosine_topk
+    (tests/test_ivf.py), with either quantizer and either mode."""
     if centroids is None:
         centroids = _centroid_rows(emb, nlist)
-    assigned = ivf_assign(emb, nlist, centroids=centroids).select(
+    resolved = _resolve_mode(mode, centroids)
+    assigned = ivf_assign(emb, nlist, centroids=centroids, mode=resolved).select(
         F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv"), "cell"
     )
 
-    # probe list: per query, the nprobe nearest cells by (cos desc,
-    # cell asc) — sort_array desc on (cos, -cell) structs, slice, explode
-    qv = _dvec("embedding")
-    cells_sorted = F.sort_array(
-        F.array(*[
-            F.struct(c.alias("cos"), F.lit(-cell).alias("ncell"))
-            for cell, c in _cell_scores(qv, centroids)
-        ]),
-        asc=False,
-    )
-    probes = (
-        emb.filter(F.col("vec_id") < num_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            qv.alias("qv"),
-            F.explode(F.slice(cells_sorted, 1, nprobe)).alias("pc"),
+    queries = emb.filter(F.col("vec_id") < num_queries)
+    if resolved == "arrow":
+        probes = _ivf_probes_arrow(queries, centroids, nprobe)
+    else:
+        # probe list: per query, the nprobe nearest cells by (cos desc,
+        # cell asc) — sort_array desc on (cos, -cell) structs, slice,
+        # explode
+        qv = _dvec("embedding")
+        cells_sorted = F.sort_array(
+            F.array(*[
+                F.struct(c.alias("cos"), F.lit(-cell).alias("ncell"))
+                for cell, c in _cell_scores(qv, centroids)
+            ]),
+            asc=False,
         )
-        .select("query_id", "qv", (-F.col("pc.ncell")).cast("int").alias("cell"))
-    )
+        probes = (
+            queries
+            .select(
+                F.col("vec_id").alias("query_id"),
+                qv.alias("qv"),
+                F.explode(F.slice(cells_sorted, 1, nprobe)).alias("pc"),
+            )
+            .select("query_id", "qv", (-F.col("pc.ncell")).cast("int").alias("cell"))
+        )
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from crawler_spark.operators.dedup import (
     PHASH_BLOCKS,
     _phash_block_layout,
+    blocks_for_corpus,
     phash_neardup_pairs,
 )
 from crawler_spark.queries import _PH_M1, _PH_M3, _PH_M5, _phash_images
@@ -79,6 +80,32 @@ def test_negative_phash_safe(spark):
         for r in phash_neardup_pairs(df, max_hamming=1).collect()
     }
     assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 0}
+
+
+def test_blocks_for_corpus_scales():
+    """The adaptive block count grows with the corpus (more/wider
+    combo keys → bounded bucket occupancy at any N), is monotone, and
+    the static default 6 is exactly the 10^9-image answer — symmetry
+    with planes_for_corpus on the embedding axis."""
+    assert blocks_for_corpus(10**9) == PHASH_BLOCKS == 6
+    assert blocks_for_corpus(10**12) == 9
+    vals = [blocks_for_corpus(10**e) for e in range(2, 15)]
+    assert vals == sorted(vals)
+    assert all(b > 3 for b in vals)  # pigeonhole needs blocks > d
+
+
+def test_adaptive_blocks_still_exact(images):
+    """blocks=None (derived from the corpus count) keeps the operator
+    exact — same pairs as the pinned-blocks default."""
+    pinned = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(images, blocks=PHASH_BLOCKS).collect()
+    }
+    adaptive = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(images).collect()
+    }
+    assert adaptive == pinned
 
 
 def test_masks_disjoint():
