@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dd_exact",
     "dd_minhash_buckets",
     "dd_simhash",
+    "dd_phash_neardup",
     "ann_cosine_topk",
     "ann_lsh_census",
 ]
@@ -230,6 +231,56 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     return out
 
 
+def _parse_phase_timings(stdout: str) -> dict:
+    """Sum the child's `[epoch-timing] label: X.XXs` lines (epoch._tlog,
+    enabled via SPARK_GRAFT_TIMING) per label — the per-phase wall
+    decomposition of the frontier job (summed across its epochs)."""
+    import re
+
+    out: dict[str, float] = {}
+    for m in re.finditer(r"\[epoch-timing\] ([\w+\-]+): ([0-9.]+)s", stdout):
+        out[m.group(1)] = round(out.get(m.group(1), 0.0) + float(m.group(2)), 2)
+    return out
+
+
+# phases that are per-epoch FIXED cost (driver-side planning, the
+# num_buckets-row metrics collect/write, manifest commit) — a real
+# cluster amortizes them over arbitrarily large epochs, a 2-core toy
+# epoch does not. Everything else ("fetch+write",
+# "light-writes+lineage") is the distributed data path.
+FIXED_PHASES = ("plan", "metrics-collect", "metrics-write")
+
+
+def _phase_decomposition(runs: list[dict], lo: int, hi: int) -> dict | None:
+    """Median per-phase seconds at each level + the data-path-only
+    efficiency: speedup computed on the distributed phases alone, with
+    the measured fixed cost taken out — the Amdahl decomposition as a
+    MEASUREMENT instead of an estimate (VERDICT r3 item 3a)."""
+    med_phase: dict[int, dict] = {}
+    for c in (lo, hi):
+        ph = [r["phases"] for r in runs if r["cpus"] == c and r.get("phases")]
+        if not ph:
+            return None
+        keys = sorted(set().union(*ph))
+        med_phase[c] = {
+            k: sorted(p.get(k, 0.0) for p in ph)[len(ph) // 2] for k in keys
+        }
+    fixed = {c: round(sum(v for k, v in med_phase[c].items() if k in FIXED_PHASES), 2)
+             for c in (lo, hi)}
+    data = {c: round(sum(v for k, v in med_phase[c].items() if k not in FIXED_PHASES), 2)
+            for c in (lo, hi)}
+    if not data[hi]:
+        return None
+    dp_speedup = data[lo] / data[hi]
+    return {
+        "median_phase_sec": {str(c): med_phase[c] for c in (lo, hi)},
+        "fixed_sec": {str(c): fixed[c] for c in (lo, hi)},
+        "data_path_sec": {str(c): data[c] for c in (lo, hi)},
+        "data_path_speedup": round(dp_speedup, 3),
+        "data_path_efficiency": round(dp_speedup / (hi / lo), 3),
+    }
+
+
 def run_scaling(sf_dir: str, trials: int = 3) -> None:
     """The north-rule two-cluster-size evidence: the identical frontier
     job at local[N] and local[4N] (fresh JVM per run, sized to its
@@ -303,6 +354,11 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 SPARK_GRAFT_BENCH_EPOCHS=os.environ.get(
                     "SPARK_GRAFT_BENCH_EPOCHS", "1"
                 ),
+                # per-phase epoch timings (epoch._tlog) in the child's
+                # stdout → parsed into the artifact, so the efficiency
+                # number decomposes into phases instead of one opaque
+                # wall-clock (VERDICT r3 item 3a)
+                SPARK_GRAFT_TIMING="1",
             )
             s0, w0 = _cpu_sample(), time.time()
             # pin the child's WHOLE process tree (JVM + python UDF
@@ -333,6 +389,7 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 "cpus": cpus,
                 "rows_per_sec": child["frontier_rows_per_sec"],
                 "job_sec": child["queries"]["frontier_crawl"],
+                "phases": _parse_phase_timings(p.stdout),
                 # job-window telemetry (excludes JVM startup) from the
                 # child itself; subprocess-window steal as backup
                 "job_steal_pct": child["frontier_host"]["steal_pct"],
@@ -378,6 +435,11 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
         if med_cores[lo]
         else None,
         "achieved_cores": {str(c): med_cores[c] for c in (lo, hi)},
+        # measured Amdahl decomposition: data-path phases vs per-epoch
+        # fixed cost (see FIXED_PHASES) — the number a real cluster
+        # sees is the data-path efficiency, since the fixed cost
+        # amortizes over epoch size there
+        "phase_decomposition": _phase_decomposition(runs, lo, hi),
         "runs": runs,
     }))
 

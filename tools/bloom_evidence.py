@@ -58,12 +58,27 @@ def datasets(spark):
     return visited, cands
 
 
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle bytes WRITTEN across all completed stages so far
+    (AppStatusStore, the same source as the UI's stage table). Per-run
+    deltas of this are the exchange-volume asymmetry the Bloom path is
+    for: definitely-new candidates skip the anti-join exchange."""
+    store = spark._jsc.sc().statusStore()
+    gw = spark.sparkContext._gateway
+    jvm = spark._jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(gw.jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+
+
 def run_once(spark, bloom) -> dict:
     from bench import _cpu_sample, _host_telemetry
     from crawler_spark.state.bloom import anti_join_seen
 
     visited, cands = datasets(spark)
-    s0, t0 = _cpu_sample(), time.time()
+    s0, t0, sh0 = _cpu_sample(), time.time(), shuffle_write_bytes(spark)
     out = anti_join_seen(cands, visited, "url_hash", bloom=bloom)
     n = out.count()
     wall = time.time() - t0
@@ -72,6 +87,7 @@ def run_once(spark, bloom) -> dict:
         "wall_sec": round(wall, 3),
         "new_rows": n,
         "cand_rows_per_sec": round(CAND_N / wall, 1),
+        "shuffle_write_bytes": shuffle_write_bytes(spark) - sh0,
         **tele,
     }
 
@@ -101,6 +117,10 @@ def main() -> None:
         runs["bloom_off"].append(run_once(spark, None))
         runs["bloom_on"].append(run_once(spark, bloom))
 
+    def med(key, which):
+        vals = sorted(r[key] for r in runs[which])
+        return vals[len(vals) // 2]
+
     result = {
         "metric": "bloom_path_evidence",
         "visited_keys": VISITED_N,
@@ -111,6 +131,16 @@ def main() -> None:
         "bloom_num_hashes": bloom.num_hashes,
         "bloom_build_sec": build_sec,
         "runs": runs,
+        # the design's value at 10^9 visited: how much exchange volume
+        # the pre-filter removes (median across trials)
+        "shuffle_bytes_off": med("shuffle_write_bytes", "bloom_off"),
+        "shuffle_bytes_on": med("shuffle_write_bytes", "bloom_on"),
+        "shuffle_bytes_saved_frac": round(
+            1
+            - med("shuffle_write_bytes", "bloom_on")
+            / max(1, med("shuffle_write_bytes", "bloom_off")),
+            4,
+        ),
     }
     print(json.dumps(result))
 
