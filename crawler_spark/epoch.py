@@ -224,7 +224,15 @@ def run_epoch(
         est = store.stats_sum("fetched_ok", upto=epoch - 1)
         engage = est >= cfg.bloom_auto_threshold
     seen_filter = None
+    cand_bloom = None
     if engage:
+        # symmetric visited-side pre-filter (anti_join_seen): one bloom
+        # over the epoch's candidate KEY SET, built from the raw
+        # (pre-dedup) union — same key set as the deduped candidates,
+        # minus the dedup shuffle — and shared by both admit() calls
+        cand_bloom = BloomSeenSet.build(
+            raw_candidates.select("url_hash"), "url_hash", fpp=0.001
+        )
         recrawl_keys = store.recrawl_hashes(upto=epoch - 1)
         if recrawl_keys.size:
             # recrawl tombstones exist → the seen structure must support
@@ -263,6 +271,7 @@ def run_epoch(
         robots_rules=robots_rules,
         respect_robots=cfg.respect_robots,
         bloom=bloom,
+        cand_bloom=cand_bloom,
     )
     admitted = admitted.withColumn(
         "job_type", job_type(F.col("url_canon"))
@@ -327,6 +336,7 @@ def run_epoch(
         robots_rules=robots_rules,
         respect_robots=cfg.respect_robots,
         bloom=bloom,
+        cand_bloom=cand_bloom,
     )
     lineage = (
         by_bucket(raw_candidates, "candidates")

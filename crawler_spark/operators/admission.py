@@ -39,12 +39,17 @@ def admit(
     robots_rules: DataFrame | None = None,
     respect_robots: bool = True,
     bloom: BloomSeenSet | None = None,
+    cand_bloom: BloomSeenSet | None = None,
 ) -> DataFrame:
     """candidates(url_canon, url_hash, host, depth, ...) → admitted rows.
 
     Cheap column predicates first (codegen'd, pushed to scan), the
     seen-set anti-join last so it only shuffles survivors.
-    """
+
+    ``cand_bloom``: prebuilt candidate-keys bloom for the symmetric
+    visited-side pre-filter (see anti_join_seen) — the epoch builds it
+    ONCE and passes it to both admit() calls (selection + lineage),
+    which see the same key set."""
     out = candidates.filter(
         F.col("url_canon").isNotNull()
         & (F.col("depth") <= max_depth)
@@ -63,7 +68,7 @@ def admit(
             )
             .drop("disallow_prefixes")
         )
-    return anti_join_seen(out, visited, "url_hash", bloom=bloom)
+    return anti_join_seen(out, visited, "url_hash", bloom=bloom, cand_bloom=cand_bloom)
 
 
 def retry_candidates(failed: DataFrame, max_retries: int = MAX_RETRIES) -> DataFrame:

@@ -53,6 +53,26 @@ def test_anti_join_with_bloom_equals_exact(spark):
     assert exact == bloomy
 
 
+def test_symmetric_visited_prefilter_exact(spark):
+    """The candidate-keys bloom on the VISITED side of the confirm join
+    (symmetric mode, default) cannot change the result: no false
+    negatives → every visited key that equals a candidate key survives
+    the pre-filter. Pin symmetric == asymmetric == exact."""
+    cand = spark.range(3_000).select((F.col("id") * 7).alias("url_hash"))
+    visited = spark.range(0, 9_000, 2).select(F.col("id").alias("url_hash"))
+    flt = BloomSeenSet.build(visited, expected_keys=4_500, fpp=0.01)
+    exact = {r.url_hash for r in anti_join_seen(cand, visited).collect()}
+    sym = {
+        r.url_hash
+        for r in anti_join_seen(cand, visited, bloom=flt, symmetric=True).collect()
+    }
+    asym = {
+        r.url_hash
+        for r in anti_join_seen(cand, visited, bloom=flt, symmetric=False).collect()
+    }
+    assert exact == sym == asym
+
+
 def test_auto_bloom_engages_and_is_exact(spark, tmp_path):
     """use_bloom='auto' (the default): below bloom_auto_threshold the
     epoch runs the plain exact anti-join; past it the Bloom pre-filter
