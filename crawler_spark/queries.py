@@ -1529,7 +1529,6 @@ REGISTRY: dict[str, tuple] = {
     "f2_admission": (f2_admission, SQL_F2),
     "f3_schedule": (f3_schedule, SQL_F3),
     "f4_priority": (f4_priority, SQL_F4),
-    "f4b_simple_priority": (f4b_simple_priority, _sql_f4b()),
     "f7_retry": (f7_retry, SQL_F7),
     "f11_link_emit": (f11_link_emit, _sql_f11()),
     "f15_metrics": (f15_metrics, SQL_F15),
@@ -1581,6 +1580,11 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "dd_embed_neardup": (dd_embed_neardup, SIM.sql_embed_neardup_pairs()),
     "ann_ivf_topk": (ann_ivf_topk, SIM.sql_ivf_topk()),
+    # the scale-safe (broadcast-matmul) IVF path, forced past the
+    # literal-Project threshold — same DuckDB oracle as ann_ivf_topk,
+    # kept in the driver-attested window because it is the plan shape
+    # the 10^9-vector regime actually runs
+    "ann_ivf_arrow": (ann_ivf_arrow, SIM.sql_ivf_topk()),
     # full-epoch / multimodal — golden-table value oracles: the
     # expected rows are INDEPENDENTLY precomputed (pure-Python parity
     # simulator for the epoch, pure-Python codecs for the multimodal
@@ -1614,7 +1618,10 @@ REGISTRY: dict[str, tuple] = {
     "dd_minhash_buckets": (dd_minhash_buckets, DD.sql_lsh_buckets()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
     "ann_ivf_census": (ann_ivf_census, SIM.sql_ivf_cell_census()),
-    "ann_ivf_arrow": (ann_ivf_arrow, SIM.sql_ivf_topk()),
+    # simplified-priority variant of f4_priority (reference's
+    # "simple mode") — demoted here in favor of ann_ivf_arrow; still
+    # fully oracle-checked by tools/check_oracle.py
+    "f4b_simple_priority": (f4b_simple_priority, _sql_f4b()),
 }
 
 
