@@ -416,6 +416,16 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
     # not the engine — checkable from this JSON alone.
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        # run conditions, so the artifact is auditable without prose
+        "seeds": int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1000000")),
+        "epochs": int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "1")),
+        "pinned": os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0",
+        # /dev/shm models executor-LOCAL disks (which scale with node
+        # count on a real cluster); the default shared /tmp disk's
+        # write-back flusher is a fixed-bandwidth serial term that
+        # both parallelism levels would otherwise contend on
+        "store_dir": os.environ.get("SPARK_GRAFT_BENCH_STORE_DIR")
+        or "/tmp (shared disk)",
         f"rows_per_sec_local{lo}_runs": rps[lo],
         f"rows_per_sec_local{hi}_runs": rps[hi],
         f"rows_per_sec_local{lo}": med[lo],
