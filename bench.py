@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "dd_phash_neardup",
     "ann_cosine_topk",
     "ann_lsh_census",
+    # IVF ANN family (r4 promoted the arrow path; r5 gives both
+    # wall-clock tracking like the rest of the dedup/ANN suite)
+    "ann_ivf_topk",
+    "ann_ivf_arrow",
 ]
 
 # frontier bench world: many hosts so politeness slots don't throttle

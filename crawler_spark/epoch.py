@@ -80,6 +80,11 @@ class EpochConfig:
     use_bloom: bool | str = "auto"
     bloom_auto_threshold: int = 1_000_000
     bloom_fpp: float = 0.01
+    # persist the engaged filter's bits in the SnapshotStore after each
+    # engaged epoch so the next epoch absorbs only the delta keys (the
+    # reference's persistent seen set, crawler.py:167) instead of
+    # rebuilding from a full visited scan — see _seen_filter_for_epoch
+    persist_seen_filter: bool = True
 
 
 def seeds_to_frontier(seeds: DataFrame, url_col: str = "url") -> DataFrame:
@@ -173,6 +178,130 @@ def emit_links(fetched_ok: DataFrame) -> DataFrame:
     )
 
 
+def _seen_filter_for_epoch(store, epoch, cfg, est, visited):
+    """Build-or-incrementally-maintain the engaged F5 pre-filter.
+
+    The reference keeps ONE persistent in-memory seen set for the whole
+    crawl (crawler.py:167) — it never rebuilds it. The distributed
+    analogue: the engaged filter's raw bits persist in the
+    SnapshotStore after every engaged epoch (save_seen_filter), and the
+    next epoch loads them and absorbs only the delta — the keys fetched
+    since the persisted epoch (one epoch's rows in steady state) plus
+    any new recrawl tombstones as counting deletes — so per-epoch
+    filter cost is O(new keys), not the O(|visited|) full scan measured
+    at 7.5 s / 20M keys (bloom_evidence_r4.json); at the 10^9-visited
+    design point the rebuild would be minutes of scan per epoch.
+
+    Exactness: bloom OR-union IS the insert and inserts commute, so
+    incremental == full rebuild bit-identically at equal geometry
+    (tests/test_seen_filter.py pins admission-output equality on both
+    kinds). The filter is only ever a PRE-filter — false positives are
+    re-checked by the exact confirm anti-join — so the single
+    correctness obligation is no-false-negatives, which incremental
+    maintenance preserves (and the cuckoo delete() return is asserted:
+    a missing fingerprint would breach the counting invariant, so that
+    epoch falls back to the exact join instead of trusting the filter).
+
+    Returns (filter_or_None, kind_str_or_None); None → exact anti-join.
+    """
+    upto = epoch - 1
+    ent = store.load_seen_filter() if cfg.persist_seen_filter else None
+    if ent is not None and ent["upto"] > upto:
+        # persisted filter is from the FUTURE relative to this epoch
+        # (replay) — its deletes could introduce false negatives here
+        ent = None
+
+    def _persist(flt, kind: str, n: int) -> None:
+        # meta.n = cumulative keys inserted — the capacity guard when
+        # the manifest estimate is unavailable (forced use_bloom=True)
+        if not cfg.persist_seen_filter:
+            return
+        if kind == "bloom":
+            meta = {"k": flt.num_hashes, "m": flt.num_bits, "n": n}
+        else:
+            meta = {"m": flt.m, "n": n}
+        store.save_seen_filter(upto, kind, flt.to_bytes(), meta)
+
+    # -- incremental path: absorb only (ent.upto, upto] ----------------------
+    if ent is not None:
+        since = ent["upto"]
+        new_tombs = store.recrawl_hashes(upto=upto, since=since)
+        delta = store.visited_delta_keys(since, upto)
+        nd = delta.count() if delta is not None else 0  # O(new keys)
+        # est (manifest fetched_ok sum through upto) already covers the
+        # delta epochs; meta.n + nd is the tracked cumulative count
+        n = max(ent["meta"].get("n", 0) + nd, est or 0)
+        if ent["kind"] == "bloom" and new_tombs.size:
+            ent = None  # blooms can't delete → full cuckoo rebuild below
+        elif ent["kind"] == "bloom":
+            flt = BloomSeenSet.from_bytes(ent["blob"], ent["meta"]["k"])
+            if n > flt.capacity():
+                ent = None  # outgrown its geometry → resize via rebuild
+            else:
+                if delta is not None and nd:
+                    flt.union_inplace(
+                        BloomSeenSet.build(
+                            delta, "url_hash",
+                            fixed_params=(flt.num_bits, flt.num_hashes),
+                        )
+                    )
+                _persist(flt, "bloom", n)
+                return flt, "bloom"
+        else:  # cuckoo
+            from .state.cuckoo import CuckooOverfullError, CuckooSeenSet
+
+            flt = CuckooSeenSet.from_bytes(ent["blob"], ent["meta"]["m"])
+            if n > flt.capacity():
+                ent = None
+            else:
+                try:
+                    if delta is not None and nd:
+                        flt.merge_from(
+                            CuckooSeenSet.build(
+                                delta, "url_hash", fixed_buckets=flt.m
+                            )
+                        )
+                except CuckooOverfullError:
+                    ent = None  # resize via full rebuild below
+                else:
+                    if new_tombs.size and flt.delete(new_tombs) != 0:
+                        # counting invariant breached — a still-visited
+                        # key may now be a false negative: do NOT trust
+                        # or persist; this epoch runs the exact join
+                        return None, None
+                    _persist(flt, "cuckoo", n - new_tombs.size)
+                    return flt, "cuckoo"
+
+    # -- full build (first engaged epoch / geometry outgrown) ----------------
+    all_tombs = store.recrawl_hashes(upto=upto)
+    if all_tombs.size:
+        # tombstones exist → the seen structure must support deletion:
+        # build the CUCKOO variant over the RAW visited projection
+        # (pre-tombstone), then delete the tombstoned fingerprints
+        # (counting deletes: a URL recrawled twice has two tombstones
+        # matching its two extra visited copies, so inserted-minus-
+        # deleted is never negative and no-false-negatives holds).
+        from .state.cuckoo import CuckooSeenSet
+
+        raw_visited = store.read_upto(
+            "visited", upto, include_recrawled=True
+        ).select("url_hash")
+        n = est if est is not None else raw_visited.count()
+        flt = CuckooSeenSet.build(
+            raw_visited, "url_hash", expected_keys=int(n * 1.2)
+        )
+        if flt.delete(all_tombs) != 0:
+            return None, None  # invariant breached → exact join
+        _persist(flt, "cuckoo", n - all_tombs.size)
+        return flt, "cuckoo"
+    n = est if est is not None else visited.count()
+    flt = BloomSeenSet.build(
+        visited, "url_hash", expected_keys=int(n * 1.2), fpp=cfg.bloom_fpp
+    )
+    _persist(flt, "bloom", n)
+    return flt, "bloom"
+
+
 def run_epoch(
     spark: SparkSession,
     store: SnapshotStore,
@@ -233,35 +362,9 @@ def run_epoch(
         cand_bloom = BloomSeenSet.build(
             raw_candidates.select("url_hash"), "url_hash", fpp=0.001
         )
-        recrawl_keys = store.recrawl_hashes(upto=epoch - 1)
-        if recrawl_keys.size:
-            # recrawl tombstones exist → the seen structure must support
-            # deletion, so the pre-filter is the CUCKOO variant: build
-            # over the RAW visited projection (pre-tombstone), then
-            # delete the tombstoned fingerprints — exactly what a
-            # persistent filter on a real cluster does instead of a
-            # rebuild (counting deletes: a URL recrawled twice has two
-            # tombstones matching its two extra visited copies, so
-            # inserted-minus-deleted copies is never negative and
-            # no-false-negatives holds for still-visited keys).
-            from .state.cuckoo import CuckooSeenSet
-
-            raw_visited = store.read_upto(
-                "visited", epoch - 1, include_recrawled=True
-            ).select("url_hash")
-            bloom = CuckooSeenSet.build(
-                raw_visited, "url_hash",
-                expected_keys=(int(est * 1.2) if est else None),
-            )
-            bloom.delete(recrawl_keys)
-            seen_filter = "cuckoo"
-        else:
-            bloom = BloomSeenSet.build(
-                visited, "url_hash",
-                expected_keys=(int(est * 1.2) if est else None),
-                fpp=cfg.bloom_fpp,
-            )
-            seen_filter = "bloom"
+        bloom, seen_filter = _seen_filter_for_epoch(
+            store, epoch, cfg, est, visited
+        )
 
     admitted = admission.admit(
         candidates,

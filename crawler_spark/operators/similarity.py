@@ -352,17 +352,52 @@ def _cell_scores(v, centroids: list) -> list:
 
 
 def _centroid_matrix(centroids: list):
-    """(cells int64[L], row-normalized float64[L, D] matrix) from a
-    [(cell, vector), ...] quantizer — rows sorted by cell so numpy
-    argmax's first-hit tie-break reproduces the literal path's
-    (cos desc, cell asc) rule."""
+    """(cells int64[L], RAW float64[L, D] matrix, fold-norms float64[L])
+    from a [(cell, vector), ...] quantizer — rows sorted by cell so
+    numpy argmax's first-hit tie-break reproduces the literal path's
+    (cos desc, cell asc) rule. Norms are computed with the SAME
+    sequential left fold as :func:`cosine` (not BLAS) so the exact
+    tie-resolution path below reproduces the literal/oracle arithmetic
+    bit-for-bit."""
     import numpy as np
 
     cents = sorted(centroids)
     cells = np.array([c for c, _ in cents], dtype=np.int64)
     M = np.array([v for _, v in cents], dtype=np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    return cells, M
+    norms = np.array([_fold_norm(row) for row in M], dtype=np.float64)
+    return cells, M, norms
+
+
+# |blas_estimate - fold_cos| for 64-dim unit-magnitude cosines is
+# ~1e-13 (D·eps relative); any gap wider than this margin is decided
+# by the fast estimate alone, anything inside it is re-scored with the
+# exact fold — so the arrow path's argmax/ordering is IDENTICAL to the
+# literal path and the DuckDB oracle by construction, not by luck
+# (tolerance chosen 4 orders above the error bound).
+FOLD_MARGIN = 1e-9
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot in python floats — the exact arithmetic
+    of cosine()'s F.aggregate and DuckDB's list_aggregate 'sum'."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a) -> float:
+    import math
+
+    return math.sqrt(_fold_dot(a, a))
+
+
+def _fold_cos(v, vnorm: float, M_rows, cnorms) -> list[float]:
+    """Exact fold cosine of one vector vs each given centroid row."""
+    return [
+        _fold_dot(v, M_rows[i]) / (vnorm * cnorms[i])
+        for i in range(len(M_rows))
+    ]
 
 
 def _ivf_assign_arrow(emb: DataFrame, centroids: list) -> DataFrame:
@@ -373,25 +408,46 @@ def _ivf_assign_arrow(emb: DataFrame, centroids: list) -> DataFrame:
     the N/10^4 regime of a 10^9-vector corpus (10^5 centroids · 64 dims
     ≈ 50 MB broadcast) where the literal Project stops compiling. The
     plan shape is unchanged: mapInPandas is a per-partition map — the
-    corpus is still never shuffled."""
+    corpus is still never shuffled.
+
+    Arithmetic contract: the BLAS matmul is only an ESTIMATE used to
+    prune; rows whose top-two estimated cosines sit within FOLD_MARGIN
+    are re-scored with the exact sequential fold (the literal path's /
+    oracle's arithmetic), so the assignment is provably identical to
+    ``mode='literal'`` on any data — a near-tie between two centroids
+    can no longer flip with accumulation order (ADVICE r4)."""
     import numpy as np
     from pyspark.sql import types as T
 
-    cells, M = _centroid_matrix(centroids)
-    bc = emb.sparkSession.sparkContext.broadcast((cells, M))
+    cells, M, cnorms = _centroid_matrix(centroids)
+    bc = emb.sparkSession.sparkContext.broadcast((cells, M, cnorms))
     in_cols = [f.name for f in emb.schema.fields]
     out_schema = T.StructType(
         list(emb.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
 
     def assign(batches):
-        cells_, M_ = bc.value
+        cells_, M_, cnorms_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # |v| is constant per row → argmax over v·ĉ is argmax of cos
-            best = (V @ M_.T).argmax(axis=1)
+            nv = np.sqrt((V * V).sum(axis=1))
+            # estimated cosine: one dgemm + a rank-1 normalize
+            S = (V @ M_.T) / (nv[:, None] * cnorms_[None, :])
+            best = S.argmax(axis=1)
+            top = S[np.arange(len(S)), best]
+            # rows where a second cell is within the safety margin of
+            # the top: decide those with the exact fold (rare)
+            S[np.arange(len(S)), best] = -np.inf
+            close = (top - S.max(axis=1)) <= FOLD_MARGIN
+            S[np.arange(len(S)), best] = top
+            for r in np.nonzero(close)[0]:
+                cand = np.nonzero(S[r] >= top[r] - FOLD_MARGIN)[0]
+                vnorm = _fold_norm(V[r])
+                exact = _fold_cos(V[r], vnorm, M_[cand], cnorms_[cand])
+                # max cos, ties → min cell (cand is cell-ascending)
+                best[r] = cand[int(np.argmax(exact))]
             out = pdf[in_cols].copy()
             out["cell"] = cells_[best].astype("int32")
             yield out
@@ -403,28 +459,51 @@ def _ivf_probes_arrow(
     queries: DataFrame, centroids: list, nprobe: int
 ) -> DataFrame:
     """(query_id, qv array<double>, cell): each query's nprobe nearest
-    cells by (cos desc, cell asc) — same broadcast matmul; stable
-    argsort keeps the tie-break."""
+    cells by (cos desc, cell asc) — same broadcast matmul estimate with
+    the same exact-fold escalation as _ivf_assign_arrow: if the gap
+    around the nprobe boundary is inside FOLD_MARGIN, the boundary
+    cells are re-scored with the sequential fold, so the probe SET is
+    identical to the literal path's on any data."""
     import numpy as np
 
-    cells, M = _centroid_matrix(centroids)
-    bc = queries.sparkSession.sparkContext.broadcast((cells, M))
+    cells, M, cnorms = _centroid_matrix(centroids)
+    bc = queries.sparkSession.sparkContext.broadcast((cells, M, cnorms))
 
     def probe(batches):
         import pandas as pd
 
-        cells_, M_ = bc.value
+        cells_, M_, cnorms_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            order = np.argsort(-(V @ M_.T), axis=1, kind="stable")[:, :nprobe]
-            n = order.shape[1]
+            nv = np.sqrt((V * V).sum(axis=1))
+            S = (V @ M_.T) / (nv[:, None] * cnorms_[None, :])
+            # stable argsort on cell-ascending columns → (cos desc,
+            # cell asc) tie-break on the estimate
+            order = np.argsort(-S, axis=1, kind="stable")
+            take = order[:, :nprobe].copy()
+            if S.shape[1] > nprobe:
+                srt = np.take_along_axis(S, order, axis=1)
+                boundary = srt[:, nprobe - 1] - srt[:, nprobe] <= FOLD_MARGIN
+                for r in np.nonzero(boundary)[0]:
+                    # every cell that could be in the true top-nprobe
+                    # sits within the margin of the estimated k-th score
+                    cand = np.nonzero(S[r] >= srt[r, nprobe - 1] - FOLD_MARGIN)[0]
+                    vnorm = _fold_norm(V[r])
+                    exact = _fold_cos(V[r], vnorm, M_[cand], cnorms_[cand])
+                    # (cos desc, cell asc): cand is cell-ascending and
+                    # the sort is stable
+                    picked = cand[
+                        np.argsort(-np.array(exact), kind="stable")
+                    ]
+                    take[r] = picked[:nprobe]
+            n = take.shape[1]
             yield pd.DataFrame(
                 {
                     "query_id": pdf["vec_id"].to_numpy().repeat(n),
                     "qv": [list(r) for r in np.repeat(V, n, axis=0)],
-                    "cell": cells_[order].ravel().astype("int32"),
+                    "cell": cells_[take].ravel().astype("int32"),
                 }
             )
 

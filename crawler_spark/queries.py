@@ -1418,6 +1418,66 @@ def fe_epoch(spark, sf_dir):
     )
 
 
+def fe_recrawl(spark, sf_dir):
+    """F14 recrawl flow, value-oracled: crawl 2 epochs (the fe_epoch
+    configuration), tombstone every 5th visited URL (pmod(url_hash, 5)
+    == 0 — matched by Python's non-negative ``uh % 5`` in the golden
+    generator), run one more epoch uncapped, and return the RE-fetched
+    rows (semi-joined against the committed tombstone table, so newly
+    discovered hash%5==0 URLs can't leak in).
+
+    Golden oracle (tools/make_golden.py): the parity simulator's
+    visited rows restricted to the tombstoned set, with phash from the
+    pure-Python codec — the claim under value-check is the full recrawl
+    contract: tombstone epoch → visited subtraction → re-admission via
+    the append-only frontier → re-fetch BIT-identical to the original
+    fetch (same depth/priority/phash). Reference analogue: the smart
+    loop's periodic re-crawl of known pages (smart_crawler.py).
+
+    The driver-side collect of the tombstone URL list is the
+    operation's API shape (recrawl() takes an operator-supplied URL
+    list), not a data-path collect — ~190 URLs here."""
+    import atexit
+    import shutil
+
+    from . import fixtures as fx
+    from .epoch import EpochConfig, recrawl, run_crawl, run_epoch
+    from .state.snapshots import SnapshotStore
+
+    cfg = EpochConfig(epoch_budget=2000, use_bloom=False)
+    seeds = fx.seeds_df(spark, 300)
+    robots = fx.robots_rules_df(spark)
+    tmp = tempfile.mkdtemp(prefix="fe_recrawl_")
+    atexit.register(shutil.rmtree, tmp, True)
+    store = SnapshotStore(spark, tmp)
+    run_crawl(spark, store, seeds, cfg, num_epochs=2, robots_rules=robots)
+    urls = [
+        r.url_canon
+        for r in store.read_upto("visited")
+        .filter(F.pmod(F.col("url_hash"), F.lit(5)) == 0)
+        .select("url_canon")
+        .collect()
+    ]
+    info = recrawl(spark, store, urls)
+    # uncapped: every re-admitted URL must be re-fetched THIS epoch for
+    # the golden to be closed-form, so both caps come off — the global
+    # budget AND the politeness window (new depth-2 list-type URLs can
+    # outrank a recrawled depth-1 page in the host window, so a 60-slot
+    # cap would defer a tombstoned URL to a later epoch)
+    final_cfg = EpochConfig(
+        epoch_budget=None, epoch_seconds=1e6, use_bloom=False
+    )
+    run_epoch(
+        spark, store, info["epoch"] + 1, final_cfg, robots_rules=robots
+    )
+    tomb = store.read_table(info["epoch"], "recrawl").select("url_hash")
+    return (
+        store.read_table(info["epoch"] + 1, "fetched")
+        .join(tomb, "url_hash", "left_semi")
+        .select("url_hash", "url_canon", "host", "depth", "priority", "phash")
+    )
+
+
 def mm_decode_stats(spark, sf_dir):
     """Multimodal plumbing: synthesize image bytes for 100 doc ids,
     decode via mapInPandas, return (id, w, h, fmt, phash, mean_pixel).
@@ -1579,11 +1639,12 @@ REGISTRY: dict[str, tuple] = {
     # similarity
     "ann_cosine_topk": (ann_cosine_topk, SIM.sql_cosine_topk()),
     "dd_embed_neardup": (dd_embed_neardup, SIM.sql_embed_neardup_pairs()),
-    "ann_ivf_topk": (ann_ivf_topk, SIM.sql_ivf_topk()),
     # the scale-safe (broadcast-matmul) IVF path, forced past the
-    # literal-Project threshold — same DuckDB oracle as ann_ivf_topk,
-    # kept in the driver-attested window because it is the plan shape
-    # the 10^9-vector regime actually runs
+    # literal-Project threshold — the plan shape the 10^9-vector regime
+    # actually runs. Its literal-expression sibling ann_ivf_topk (same
+    # DuckDB oracle, small-nlist plan) moved to the registry tail in
+    # round 5 to make room for fe_recrawl — precedent: the r4
+    # f4b_simple_priority demotion of a subsumed sibling.
     "ann_ivf_arrow": (ann_ivf_arrow, SIM.sql_ivf_topk()),
     # full-epoch / multimodal — golden-table value oracles: the
     # expected rows are INDEPENDENTLY precomputed (pure-Python parity
@@ -1610,19 +1671,58 @@ REGISTRY: dict[str, tuple] = {
         f"FROM read_parquet('{_GOLDEN_DIR}/mm_frame_sample.parquet') "
         "WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 30)",
     ),
-    # census variants — kept at the tail: the driver harness attests the
-    # first 50 registry entries, and each census is subsumed by its
-    # pairs/topk sibling above (same bucketing plan, weaker output). They
-    # remain fully oracle-checked when the whole registry is run
-    # (tools/check_oracle.py checks all entries, not just 50).
+    # F14 recrawl flow (round-4 flagship) — golden value oracle: the
+    # re-fetched rows must be bit-identical to the parity simulator's
+    # original visited rows for the tombstoned subset (incl. phash)
+    "fe_recrawl": (
+        fe_recrawl,
+        "SELECT url_hash, url_canon, host, depth, priority, phash "
+        f"FROM read_parquet('{_GOLDEN_DIR}/fe_recrawl.parquet')",
+    ),
+    # --- registry tail (below this line is OUTSIDE the driver's ---------
+    # attestation window — see ATTESTED). Census variants: each is
+    # subsumed by its pairs/topk sibling above (same bucketing plan,
+    # weaker output). They remain fully oracle-checked when the whole
+    # registry is run (tools/check_oracle.py checks all entries).
     "dd_minhash_buckets": (dd_minhash_buckets, DD.sql_lsh_buckets()),
     "ann_lsh_census": (ann_lsh_census, SIM.sql_lsh_bucket_census()),
     "ann_ivf_census": (ann_ivf_census, SIM.sql_ivf_cell_census()),
     # simplified-priority variant of f4_priority (reference's
-    # "simple mode") — demoted here in favor of ann_ivf_arrow; still
+    # "simple mode") — demoted in r4 in favor of ann_ivf_arrow; still
     # fully oracle-checked by tools/check_oracle.py
     "f4b_simple_priority": (f4b_simple_priority, _sql_f4b()),
+    # literal-expression IVF sibling of ann_ivf_arrow (same oracle,
+    # small-nlist plan shape) — demoted in r5 in favor of fe_recrawl
+    "ann_ivf_topk": (ann_ivf_topk, SIM.sql_ivf_topk()),
 }
+
+# The driver attests exactly the first 50 registry entries
+# (CORRECTNESS_r{N}.json). Membership of that window is DELIBERATE —
+# this constant makes it explicit and the assertion below makes any
+# accidental reorder a loud import-time failure instead of a silent
+# attestation change (ADVICE r4). Tail entries stay value-checked by
+# tools/check_oracle.py.
+ATTESTED_WINDOW = 50
+ATTESTED = (
+    "f1_canonicalize", "f2_admission", "f3_schedule", "f4_priority",
+    "f7_retry", "f11_link_emit", "f15_metrics", "f15_lineage",
+    "q1_pricing", "q3_topk_revenue", "q5_nation_revenue", "q_window_topn",
+    "q_events_tumbling", "q_events_json", "q_sessionize",
+    "s1_dedup_upsert", "s3_link_diff", "s5_paged_scan", "s6_group_stats",
+    "s7_index_touch", "a2_robots_sitemaps", "a3_sitemap_expand",
+    "d1_url_features", "d2_url_templates", "d8_url_similarity",
+    "d10_top_sections", "c_extract", "c2_main_content", "c7_list_items",
+    "c8_related", "d6_page_type", "m1_tfidf_top3", "m4_structural",
+    "t_tokens", "t_quality", "t_langid", "t_fingerprint",
+    "t_fa_normalize", "dd_exact", "dd_minhash_pairs", "dd_simhash",
+    "dd_jaccard", "dd_phash_neardup", "ann_cosine_topk",
+    "dd_embed_neardup", "ann_ivf_arrow", "fe_epoch", "mm_decode_stats",
+    "mm_frame_sample", "fe_recrawl",
+)
+assert list(REGISTRY)[:ATTESTED_WINDOW] == list(ATTESTED), (
+    "driver-attested window drifted — reorder REGISTRY or update "
+    "ATTESTED deliberately"
+)
 
 
 def queries():

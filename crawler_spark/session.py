@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pin explicitly (it IS the Spark default, but the per-epoch
+        # fixed-cost decomposition in bench.py depends on it): python
+        # workers persist across tasks, so the Arrow UDF stages pay
+        # interpreter+import startup once per executor core, not once
+        # per task — with reuse off, each epoch's fetch/bloom stages
+        # would re-fork ~32 pythons and the "fixed per-epoch cost"
+        # measured by --scaling would be inflated by respawn time
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

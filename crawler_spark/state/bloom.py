@@ -85,6 +85,7 @@ class BloomSeenSet:
         expected_keys: int | None = None,
         fpp: float = 0.01,
         tree_depth: int = 2,
+        fixed_params: tuple[int, int] | None = None,
     ) -> "BloomSeenSet":
         """Per-partition numpy Blooms OR-merged via treeAggregate.
 
@@ -96,10 +97,18 @@ class BloomSeenSet:
         keys at local[8]; this path builds the same filter in a few
         seconds). At 10^9 keys the same shape holds: each partition
         emits one ~1.2 GB bit-array and ``treeAggregate`` (depth 2+)
-        OR-merges log-tree-wise across executors."""
-        if expected_keys is None:
-            expected_keys = df.count()
-        m, k = cls.params(expected_keys, fpp)
+        OR-merges log-tree-wise across executors.
+
+        ``fixed_params=(m, k)`` builds at the GIVEN geometry instead of
+        sizing from the key count — the incremental-maintenance path:
+        a delta filter built at the persisted filter's exact (m, k)
+        OR-merges into it bit-identically (blooms are unionable)."""
+        if fixed_params is not None:
+            m, k = fixed_params
+        else:
+            if expected_keys is None:
+                expected_keys = df.count()
+            m, k = cls.params(expected_keys, fpp)
         nbytes = m // 8
 
         def build_partition(batches):
@@ -132,6 +141,33 @@ class BloomSeenSet:
         )
         return cls(merged, k)
 
+    # -- incremental maintenance ----------------------------------------------
+
+    def capacity(self) -> int:
+        """Key count this geometry was sized for at its design fpp —
+        the inverse of params(): n = m·ln2/k. A persisted filter is
+        reusable while the visited estimate stays under this (fpp
+        degrades smoothly past it; degradation only costs confirm-join
+        rows, never correctness)."""
+        return max(1, int(self.num_bits * math.log(2) / self.num_hashes))
+
+    def union_inplace(self, other: "BloomSeenSet") -> "BloomSeenSet":
+        """OR another same-geometry filter's bits into this one — the
+        incremental epoch step: persisted_filter ∪ delta_filter is
+        bit-identical to a full rebuild over the union of their key
+        sets (OR is the bloom insert, and inserts commute)."""
+        if (self.num_bits, self.num_hashes) != (other.num_bits, other.num_hashes):
+            raise ValueError("bloom union requires identical (m, k)")
+        self.bits = np.bitwise_or(self.bits, other.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, num_hashes: int) -> "BloomSeenSet":
+        return cls(np.frombuffer(blob, dtype=np.uint8).copy(), num_hashes)
+
     # -- Spark probe ---------------------------------------------------------
 
     def probe_udf(self, spark):
@@ -152,28 +188,34 @@ def anti_join_seen(
     visited: DataFrame,
     key: str = "url_hash",
     bloom: BloomSeenSet | None = None,
-    symmetric: bool = True,
+    symmetric: bool | None = None,
     cand_fpp: float = 0.001,
     cand_bloom: "BloomSeenSet | None" = None,
 ) -> DataFrame:
     """F5: candidates not in visited. With a Bloom, only possible-hits
     pay the exact anti-join; definite-new rows bypass the shuffle.
 
-    ``symmetric`` (default on when a Bloom is engaged) additionally
-    pre-filters the VISITED side of the exact confirm join with a
-    Bloom built over the CANDIDATE keys. This is EXACT: the filter has
-    no false negatives, so every visited row whose key equals some
-    candidate key survives it, and the anti-join result is unchanged
-    (only never-matching visited rows are dropped — tests/test_bloom.py
-    pins equality). Why it matters: in the 10^9-visited regime the
-    visited-side exchange dominates the join (the candidate side is
-    already shrunk by the main Bloom); the candidate bloom is tiny
-    (built from one pass over the epoch's ~10^7 candidate keys at
-    ``cand_fpp``) and cuts that exchange from |visited| rows to
-    ~|dups| + fpp·|visited| — measured 206.8 MB → 4.3 MB at the
-    20M-visited evidence scale (bloom_evidence_r4.json). Pass a
-    prebuilt ``cand_bloom`` to skip the build here (and to account its
-    treeAggregate shuffle separately from the join's)."""
+    ``symmetric`` additionally pre-filters the VISITED side of the
+    exact confirm join with a Bloom built over the CANDIDATE keys.
+    This is EXACT: the filter has no false negatives, so every visited
+    row whose key equals some candidate key survives it, and the
+    anti-join result is unchanged (only never-matching visited rows
+    are dropped — tests/test_bloom.py pins equality). Why it matters:
+    in the 10^9-visited regime the visited-side exchange dominates the
+    join (the candidate side is already shrunk by the main Bloom); the
+    candidate bloom is tiny (built from one pass over the epoch's
+    ~10^7 candidate keys at ``cand_fpp``) and cuts that exchange from
+    |visited| rows to ~|dups| + fpp·|visited| — measured 206.8 MB →
+    4.3 MB at the 20M-visited evidence scale (bloom_evidence_r4.json).
+
+    Default (``symmetric=None``): engages ONLY when a prebuilt
+    ``cand_bloom`` is passed — so an existing caller that passes just
+    ``bloom`` never silently pays a candidate-side build (a count()
+    plus treeAggregate over a possibly-recomputed candidates plan:
+    ADVICE r4). ``symmetric=True`` without a prebuilt filter is the
+    explicit opt-in to build one here from ``candidates`` — only safe
+    when that plan is deterministic under recomputation (exactness
+    needs the built filter to cover the keys the join later sees)."""
     if bloom is None:
         return candidates.join(visited.select(key), key, "left_anti")
     spark = candidates.sparkSession
@@ -182,6 +224,8 @@ def anti_join_seen(
     definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     visited_side = visited.select(key)
+    if symmetric is None:
+        symmetric = cand_bloom is not None
     if symmetric:
         if cand_bloom is None:
             cand_bloom = BloomSeenSet.build(

@@ -155,6 +155,43 @@ class CuckooSeenSet:
         in2 = (self.table[i2] == fs[:, None]).any(axis=1)
         return in1 | in2
 
+    # -- incremental maintenance ----------------------------------------------
+
+    def capacity(self, load: float = 0.84) -> int:
+        """Key count this geometry was sized for (inverse of for_keys)."""
+        return int(self.m * SLOTS * load)
+
+    def merge_from(self, other: "CuckooSeenSet") -> "CuckooSeenSet":
+        """Re-insert every occupied (bucket, fingerprint) slot of a
+        same-geometry filter — the incremental epoch step: the pair
+        determines both legal buckets, so the merged filter contains
+        exactly the union of inserted fingerprint copies (counting
+        semantics preserved for later deletes). Raises
+        CuckooOverfullError rather than silently dropping a victim."""
+        if other.m != self.m:
+            raise ValueError("cuckoo merge requires identical bucket count")
+        bi, bs = np.nonzero(other.table)
+        for i, s in zip(bi, bs):
+            if not self.insert_pair(int(i), int(other.table[i, s])):
+                raise CuckooOverfullError(
+                    f"cuckoo merge over-full at m={self.m} buckets — "
+                    f"resize with for_keys(expected_keys) and rebuild"
+                )
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, num_buckets: int) -> "CuckooSeenSet":
+        out = cls(num_buckets)
+        if out.m != num_buckets:
+            raise ValueError("num_buckets must be the stored power of two")
+        out.table = (
+            np.frombuffer(blob, dtype=np.uint16).reshape(num_buckets, SLOTS).copy()
+        )
+        return out
+
     # -- distributed build ---------------------------------------------------
 
     @classmethod
@@ -164,35 +201,54 @@ class CuckooSeenSet:
         key_col: str = "url_hash",
         expected_keys: int | None = None,
         tree_depth: int = 2,
+        fixed_buckets: int | None = None,
     ) -> "CuckooSeenSet":
         """Per-partition filters merged via treeAggregate: merging
         re-inserts each occupied (bucket, fingerprint) slot, which is
-        sufficient because the pair determines both legal buckets."""
-        if expected_keys is None:
-            expected_keys = df.count()
-        proto = cls.for_keys(expected_keys)
-        m = proto.m
+        sufficient because the pair determines both legal buckets.
 
-        def build_partition(rows) -> np.ndarray:
+        Keys reach each partition's builder as Arrow batches
+        (``mapInArrow`` → one numpy view per batch, no Python Row
+        objects); the insert itself stays a per-key loop — kick chains
+        are inherently sequential — but with the persisted-filter path
+        (snapshots.save_seen_filter) a full build happens once per
+        crawl, not once per epoch, and delta builds see only new keys.
+
+        ``fixed_buckets`` builds at the GIVEN geometry so the result
+        can merge_from()/into a persisted filter bit-compatibly."""
+        if fixed_buckets is not None:
+            m = fixed_buckets
+        else:
+            if expected_keys is None:
+                expected_keys = df.count()
+            m = cls.for_keys(expected_keys).m
+
+        def build_partition(batches):
+            import pyarrow as pa
+
             flt = cls(m)
-            keys = np.fromiter((r[0] for r in rows), dtype=np.int64)
-            if keys.size:
-                flt.insert(keys)
-            return flt.table
+            for batch in batches:
+                keys = batch.column(0).to_numpy(zero_copy_only=False)
+                if keys.size:
+                    flt.insert(keys.astype(np.int64, copy=False))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([flt.table.tobytes()], type=pa.binary())], ["table"]
+            )
 
         def merge_tables(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             flt = cls(m)
             flt.table = a.copy()
-            bi, bs = np.nonzero(b)
-            for i, s in zip(bi, bs):
-                if not flt.insert_pair(int(i), int(b[i, s])):
-                    raise CuckooOverfullError(
-                        f"cuckoo merge over-full at m={m} buckets — "
-                        f"expected_keys underestimated; rebuild larger"
-                    )
-            return flt.table
+            other = cls(m)
+            other.table = b
+            return flt.merge_from(other).table
 
-        part = df.select(key_col).rdd.mapPartitions(lambda it: [build_partition(it)])
+        part = (
+            df.select(F.col(key_col).cast("long").alias("k"))
+            .mapInArrow(build_partition, "table binary")
+            .rdd.map(
+                lambda r: np.frombuffer(r[0], dtype=np.uint16).reshape(m, SLOTS)
+            )
+        )
         merged = part.treeAggregate(
             np.zeros((m, SLOTS), dtype=np.uint16),
             merge_tables,

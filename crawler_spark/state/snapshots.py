@@ -347,23 +347,103 @@ class SnapshotStore:
                 )
         return out
 
-    def recrawl_hashes(self, upto: int | None = None):
+    def recrawl_hashes(self, upto: int | None = None, since: int | None = None):
         """All committed recrawl tombstone url_hashes at or before
-        ``upto`` as a driver-side int64 numpy array (NOT deduped — a URL
-        recrawled twice has two tombstones, matching its two extra
-        visited copies for the cuckoo filter's counting deletes).
-        Returns an empty array with ZERO Spark jobs when no recrawl
-        epoch was ever committed (the overwhelmingly common case)."""
+        ``upto`` (and, with ``since``, strictly after it — the delta a
+        persisted filter must replay) as a driver-side int64 numpy
+        array (NOT deduped — a URL recrawled twice has two tombstones,
+        matching its two extra visited copies for the cuckoo filter's
+        counting deletes). Returns an empty array with ZERO Spark jobs
+        when no recrawl epoch is in range (the overwhelmingly common
+        case)."""
         import numpy as np
 
         if upto is None:
             upto = self.latest_epoch()
         manifest = self._read_manifest()
         rc = self._committed_epochs(manifest, "recrawl", upto)
+        if since is not None:
+            rc = [e for e in rc if e > since]
         if not rc:
             return np.zeros(0, dtype=np.int64)
         rows = self._read_epochs("recrawl", rc).select("url_hash").collect()
         return np.array([r[0] for r in rows], dtype=np.int64)
+
+    # -- persisted seen-filter (incremental F5 maintenance) -------------------
+
+    def visited_delta_keys(self, since: int, upto: int) -> DataFrame | None:
+        """RAW visited url_hash keys contributed by epochs in
+        (since, upto] — the exact delta a persisted seen filter must
+        absorb (one recent epoch in steady state, so the per-epoch
+        filter cost is O(new keys), not O(|visited|)). Raw = before
+        tombstone subtraction (the filter replays tombstones itself as
+        counting deletes); both the virtual fetched projection and any
+        materialized visited partitions in range contribute."""
+        manifest = self._read_manifest()
+        own = [
+            e for e in self._committed_epochs(manifest, "visited", upto)
+            if e > since
+        ]
+        parts = []
+        own_df = self._read_epochs("visited", own)
+        if own_df is not None:
+            parts.append(own_df.select("url_hash"))
+        f_epochs = [
+            e
+            for e in self._committed_epochs(manifest, "fetched", upto)
+            if e > since and e not in set(own)
+        ]
+        fetched = self._read_epochs("fetched", f_epochs)
+        if fetched is not None:
+            parts.append(
+                fetched.filter(F.col("status") == 200).select("url_hash")
+            )
+        if not parts:
+            return None  # nothing in range — caller skips the build job
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def save_seen_filter(self, upto: int, kind: str, blob: bytes, meta: dict) -> None:
+        """Persist the engaged seen filter's raw bits as a store
+        artifact covering visited state THROUGH epoch ``upto`` (with
+        tombstones committed <= upto already applied). The next engaged
+        epoch loads it and absorbs only the (upto, now] delta instead of
+        rebuilding from a full visited scan — the reference analogue is
+        the persistent in-memory seen set that lives across the whole
+        crawl (crawler.py:167). Blob goes to a file (tmp+rename), the
+        pointer + params into the manifest (atomic): a crash between
+        the two leaves the previous pointer intact."""
+        fdir = self.root / "filters"
+        fdir.mkdir(parents=True, exist_ok=True)
+        path = fdir / f"seen_upto={upto}.bin"
+        fd, tmp = tempfile.mkstemp(dir=fdir, suffix=".filter.tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        manifest = self._read_manifest()
+        old = manifest.get("seen_filter")
+        manifest["seen_filter"] = {
+            "upto": upto,
+            "kind": kind,
+            "path": str(path),
+            "meta": meta,
+        }
+        self._write_manifest(manifest)
+        if old and old.get("path") not in (None, str(path)):
+            try:  # superseded blob — manifest no longer points at it
+                os.unlink(old["path"])
+            except OSError:
+                pass
+
+    def load_seen_filter(self) -> dict | None:
+        """{"upto", "kind", "meta", "blob"} of the persisted seen
+        filter, or None. Driver-side file read, zero Spark jobs."""
+        ent = self._read_manifest().get("seen_filter")
+        if not ent or not Path(ent["path"]).exists():
+            return None
+        return {**ent, "blob": Path(ent["path"]).read_bytes()}
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -62,6 +62,37 @@ def golden_fe_epoch() -> pd.DataFrame:
     )
 
 
+def golden_fe_recrawl() -> pd.DataFrame:
+    """Mirror queries.fe_recrawl: the recrawl contract says the
+    re-fetch of a tombstoned URL is BIT-identical to its original
+    fetch, so the expected rows are exactly the simulator's 2-epoch
+    visited rows restricted to the tombstoned subset (uh % 5 == 0 —
+    Python % is non-negative, matching Spark pmod), with phash from
+    the pure-Python codec. Computed with ZERO engine involvement."""
+    from crawler_spark import fixtures as fx
+    from crawler_spark.simulator import simulate
+
+    seeds = [fx.py_seed_url(k, 50) for k in range(300)]
+    sim = simulate(seeds, num_epochs=2, epoch_seconds=60.0, epoch_budget=2000)
+    rows = [
+        {
+            "url_hash": np.int64(uh),
+            "url_canon": url,
+            "host": host,
+            "depth": np.int32(depth),
+            "priority": np.int32(prio),
+            "phash": np.int64(fx.py_fetch_payload(uh)["phash"]),
+        }
+        for (_ep, _rk, uh, url, host, depth, prio) in sim.visited_rows
+        if uh % 5 == 0
+    ]
+    df = pd.DataFrame(rows)
+    return df.astype(
+        {"url_hash": "int64", "depth": "int32", "priority": "int32",
+         "phash": "int64"}
+    )
+
+
 def golden_mm_decode_stats() -> pd.DataFrame:
     """Mirror queries.mm_decode_stats for doc_id 0..99."""
     from crawler_spark import fixtures as fx
@@ -129,6 +160,7 @@ def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, fn in [
         ("fe_epoch", golden_fe_epoch),
+        ("fe_recrawl", golden_fe_recrawl),
         ("mm_decode_stats", golden_mm_decode_stats),
         ("mm_frame_sample", golden_mm_frame_sample),
     ]:
