@@ -13,10 +13,21 @@ Output: {"metric": "headline_suite_sec", "value": <total sec>,
          "frontier_rows_per_sec": R, "cpus": N}
 
 `--frontier-only` prints the same line with only the frontier job
-(used by --scaling). `--scaling` runs the frontier job at local[8]
-and local[32] in subprocesses and reports throughput at both plus
-efficiency = (rps_32 / rps_8) / 4 — the sandbox evidence for the
-north rule's two-cluster-size criterion (BASELINE.md).
+(used by --scaling). `--scaling` runs the identical frontier job at
+two cluster sizes in fresh subprocesses and reports throughput at
+both plus efficiency = speedup / size-ratio — the sandbox evidence
+for the north rule's two-cluster-size criterion (BASELINE.md).
+Two modes (SPARK_GRAFT_SCALE_MODE):
+  threads   (default) local[N] vs local[4N], whole process tree
+            pinned to N / 4N cores — thread-scaling inside ONE JVM.
+  executors local-cluster[N,C,.] vs local-cluster[4N,C,.] — N vs 4N
+            separate executor JVMs x C pinned cores each, driver
+            constant on its own cores: the faithful single-machine
+            reading of 'N and 4N executors' (a cluster scales by
+            adding executor JVMs, and never shares one JVM's write
+            path across them — scaling_probe_r5.json measured that
+            in-JVM contention at 2.7x CPU/row, which threads mode
+            wrongly bills to the engine).
 """
 
 from __future__ import annotations
@@ -192,11 +203,82 @@ def _jvm_gc_ms(spark) -> int:
     return sum(b.getCollectionTime() for b in beans)
 
 
+def _pin_exec_cluster(n_exec: int, cores_per: int) -> list[int]:
+    """Pin each local-cluster executor JVM to its own `cores_per` CPUs
+    (exec i → cores [i*cores_per, (i+1)*cores_per)) — each executor
+    models a separate NODE: its python workers fork after pinning and
+    inherit its mask, so 'N vs 4N executors' is physically N vs 4N
+    disjoint core sets, with the driver held constant elsewhere."""
+    import subprocess
+    import time as _t
+
+    deadline = _t.time() + 90
+    pids: list[int] = []
+    while _t.time() < deadline:
+        out = subprocess.run(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        pids = sorted(int(x) for x in out)
+        if len(pids) >= n_exec:
+            break
+        _t.sleep(0.5)
+    if len(pids) < n_exec:
+        raise RuntimeError(f"only {len(pids)}/{n_exec} executors came up")
+    for i, pid in enumerate(pids[:n_exec]):
+        lo = i * cores_per
+        subprocess.run(
+            ["taskset", "-apc", f"{lo}-{lo + cores_per - 1}", str(pid)],
+            capture_output=True,
+        )
+    return pids[:n_exec]
+
+
+# driver/worker-daemon cores in executor-scaling mode — the same 4
+# CPUs at BOTH cluster sizes (a real cluster's driver is a separate
+# node that does not grow with the executor fleet)
+EXEC_DRIVER_CORES = os.environ.get("SPARK_GRAFT_EXEC_DRIVER_CORES", "28-31")
+
+
 def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     from crawler_spark import queries as Q
     from crawler_spark.session import get_spark
 
-    spark = get_spark(cpus, app_name="bench", shuffle_partitions=cpus)
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0"))
+    if n_exec:
+        # executor-scaling mode: local-cluster[N, C, mem] = N separate
+        # executor JVMs x C cores — the multi-JVM single-machine
+        # analogue of scaling a cluster by adding executors (separate
+        # write paths, GC domains, python worker pools, netty shuffle),
+        # vs local[N] which scales THREADS inside one JVM and measures
+        # that JVM's internal contention instead of the cluster model
+        # (scaling_probe_r5: the payload write burns ~2.7x more CPU per
+        # row at 8 threads than at 2 in one JVM).
+        cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        cpus = n_exec * cores_per
+        lo, hi = (int(x) for x in EXEC_DRIVER_CORES.split("-"))
+        os.sched_setaffinity(0, set(range(lo, hi + 1)))
+        spark = get_spark(
+            cores_per,
+            app_name="bench",
+            shuffle_partitions=cpus,
+            master=f"local-cluster[{n_exec},{cores_per},4096]",
+            extra_conf={
+                "spark.executor.memory": "4g",
+                # thread-pool sizing inside each executor matches its
+                # core grant, not the 32 CPUs the box shows
+                "spark.executor.extraJavaOptions":
+                    f"-XX:ActiveProcessorCount={cores_per}",
+                # executor python workers are separate processes here
+                # (unlike local[N], which inherits the driver's
+                # sys.path) — ship the package the way spark-submit
+                # --py-files would
+                "spark.executorEnv.PYTHONPATH": REPO,
+            },
+        )
+        _pin_exec_cluster(n_exec, cores_per)
+    else:
+        spark = get_spark(cpus, app_name="bench", shuffle_partitions=cpus)
     # warm-ups so one-time JVM/codegen startup and python-worker spawn
     # aren't billed to the first measured job (steady-state throughput)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -208,6 +290,22 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     spark.range(cpus * 4).repartition(cpus).selectExpr("id").mapInPandas(
         _noop, schema="id long"
     ).count()
+
+    # parquet write+read warm-up: the FIRST parquet write of a JVM's
+    # life loads the hadoop committer + parquet writer classes —
+    # measured ~9-10 s billed to the seed-write phase at EVERY cluster
+    # size (scaling_r5_exec.json: seed-write flat at ~10.5 s on 1 and
+    # 4 executors with only ~1 s of actual data work). A real crawl
+    # runs hundreds of epochs per long-lived app, so steady-state
+    # epochs never pay it; one tiny write moves it out of the metric.
+    wtmp = tempfile.mkdtemp(dir=os.environ.get("SPARK_GRAFT_BENCH_STORE_DIR") or None)
+    try:
+        spark.range(cpus * 4).write.mode("overwrite").parquet(wtmp + "/w")
+        spark.read.parquet(wtmp + "/w").count()
+    finally:
+        import shutil
+
+        shutil.rmtree(wtmp, ignore_errors=True)
 
     out: dict = {"queries": {}, "cpus": cpus}
     mem0 = _mem_gbps()
@@ -235,16 +333,27 @@ def run_suite(cpus: int, sf_dir: str, frontier_only: bool) -> dict:
     return out
 
 
-def _parse_phase_timings(stdout: str) -> dict:
-    """Sum the child's `[epoch-timing] label: X.XXs` lines (epoch._tlog,
-    enabled via SPARK_GRAFT_TIMING) per label — the per-phase wall
-    decomposition of the frontier job (summed across its epochs)."""
+def _parse_phase_timings(stdout: str) -> tuple[dict, dict]:
+    """Sum the child's `[epoch-timing] label: X.XXs [cores=C.CC]` lines
+    (epoch._tlog, enabled via SPARK_GRAFT_TIMING) per label — the
+    per-phase wall decomposition of the frontier job (summed across its
+    epochs), plus the wall-weighted mean achieved-cores per phase
+    (separates 'slots idle' from 'busy but slow' per phase)."""
     import re
 
     out: dict[str, float] = {}
-    for m in re.finditer(r"\[epoch-timing\] ([\w+\-]+): ([0-9.]+)s", stdout):
-        out[m.group(1)] = round(out.get(m.group(1), 0.0) + float(m.group(2)), 2)
-    return out
+    core_s: dict[str, float] = {}
+    for m in re.finditer(
+        r"\[epoch-timing\] ([\w+\-]+): ([0-9.]+)s(?: cores=([0-9.]+))?", stdout
+    ):
+        sec = float(m.group(2))
+        out[m.group(1)] = round(out.get(m.group(1), 0.0) + sec, 2)
+        if m.group(3):
+            core_s[m.group(1)] = core_s.get(m.group(1), 0.0) + sec * float(m.group(3))
+    cores = {
+        k: round(core_s[k] / out[k], 2) for k in core_s if out.get(k)
+    }
+    return out, cores
 
 
 # phases that are per-epoch FIXED cost (driver-side planning, the
@@ -302,9 +411,23 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
     scale) so executor compute dominates the per-epoch coordination.
     Trials interleave (N, 4N, N, 4N, …) and the MEDIAN throughput is
     reported — this host shows 10-25 % CPU steal, so single runs drift
-    by ±50 %."""
+    by ±50 %.
+
+    SPARK_GRAFT_SCALE_MODE=executors switches the levels from threads
+    inside one local[N] JVM to EXECUTOR COUNTS on a local-cluster:
+    pair (1,4) means 1 vs 4 executor JVMs x SPARK_GRAFT_EXEC_CORES
+    cores, each executor pinned to its own disjoint core set and the
+    driver held constant on EXEC_DRIVER_CORES — the faithful
+    single-machine reading of the north rule's 'N and 4N executors'
+    (local[N] thread-scaling additionally measures one JVM's internal
+    write-path contention, which a multi-JVM cluster never sees:
+    scaling_probe_r5.json)."""
+    exec_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads") == "executors"
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+    default_pair = "1,4" if exec_mode else "2,8"
     lo, hi = (
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", default_pair).split(",")
     )
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", trials))
     cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
@@ -338,13 +461,14 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 os.environ.get("SPARK_GRAFT_SCALE_MIN_GBPS_PER_CORE", "3.0")
             )
             gate_wait = float(os.environ.get("SPARK_GRAFT_SCALE_GATE_WAIT", "600"))
+            gate_cores = cpus * exec_cores if exec_mode else cpus
             gw0 = time.time()
             while True:
                 st = _mem_gbps()
-                mt = _mem_gbps_mt(cpus) if cpus > 2 else None
+                mt = _mem_gbps_mt(gate_cores) if gate_cores > 2 else None
                 gate.append({"st": st, "mt_agg": mt})
                 ok = st >= min_gbps and (
-                    mt is None or mt >= min_percore * cpus
+                    mt is None or mt >= min_percore * gate_cores
                 )
                 if ok or time.time() - gw0 > gate_wait:
                     break
@@ -352,6 +476,17 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
+                # executor-scaling mode: `cpus` is the EXECUTOR COUNT;
+                # the child builds local-cluster[cpus, exec_cores, .]
+                # and pins executors/driver itself (run_suite)
+                **(
+                    {
+                        "SPARK_GRAFT_EXECUTORS": str(cpus),
+                        "SPARK_GRAFT_EXEC_CORES": str(exec_cores),
+                    }
+                    if exec_mode
+                    else {}
+                ),
                 SPARK_GRAFT_BENCH_SEEDS=os.environ.get(
                     "SPARK_GRAFT_BENCH_SEEDS", "1000000"
                 ),
@@ -373,7 +508,7 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
             # nominal 4x core ratio to ~2.3x. Pinning makes "N vs 4N
             # cores" physically true. SPARK_GRAFT_SCALE_PIN=0 disables.
             cmd = [sys.executable, __file__, "--frontier-only"]
-            if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0":
+            if not exec_mode and os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0":
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(
                 cmd, capture_output=True, text=True, env=env, cwd=REPO,
@@ -393,7 +528,8 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
                 "cpus": cpus,
                 "rows_per_sec": child["frontier_rows_per_sec"],
                 "job_sec": child["queries"]["frontier_crawl"],
-                "phases": _parse_phase_timings(p.stdout),
+                "phases": (_pt := _parse_phase_timings(p.stdout))[0],
+                "phase_cores": _pt[1],
                 # job-window telemetry (excludes JVM startup) from the
                 # child itself; subprocess-window steal as backup
                 "job_steal_pct": child["frontier_host"]["steal_pct"],
@@ -419,7 +555,18 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
     # is << hi/lo, the efficiency number is capped by the host grant,
     # not the engine — checkable from this JSON alone.
     print(json.dumps({
-        "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        "metric": (
+            f"scaling_efficiency_exec_{lo}_to_{hi}"
+            if exec_mode
+            else f"scaling_efficiency_{lo}_to_{hi}"
+        ),
+        # threads mode: levels are local[N] thread counts inside one
+        # JVM. executors mode: levels are EXECUTOR JVM counts at
+        # exec_cores each (local-cluster), each executor pinned to its
+        # own disjoint core set, driver constant on EXEC_DRIVER_CORES.
+        "mode": "executors" if exec_mode else "threads",
+        **({"exec_cores": exec_cores,
+            "driver_cores": EXEC_DRIVER_CORES} if exec_mode else {}),
         # run conditions, so the artifact is auditable without prose
         "seeds": int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1000000")),
         "epochs": int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "1")),

@@ -34,12 +34,33 @@ import os
 import time
 
 _TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+_TLOG_CPU: list[int] = []
+
+
+def _busy_jiffies() -> int:
+    # user+nice+system+irq+softirq of the whole machine (the scaling
+    # harness pins the process tree, so machine jiffies in-window are
+    # this job's); memory-stall cycles count as busy — that is the
+    # point: per-phase achieved-cores separates "slots sat idle"
+    # (parallelism starvation) from "cores were busy but slow"
+    # (bandwidth/contention) in the efficiency decomposition.
+    with open("/proc/stat") as f:
+        p = [int(x) for x in f.readline().split()[1:9]]
+    return p[0] + p[1] + p[2] + p[5] + p[6]
 
 
 def _tlog(label: str, t0: float) -> float:
     now = time.time()
     if _TIMING:
-        print(f"    [epoch-timing] {label}: {now - t0:.2f}s", flush=True)
+        busy = _busy_jiffies()
+        cores = ""
+        if _TLOG_CPU:
+            dt = now - t0
+            if dt > 0:
+                c = (busy - _TLOG_CPU[0]) / (dt * os.sysconf("SC_CLK_TCK"))
+                cores = f" cores={c:.2f}"
+        _TLOG_CPU[:] = [busy]
+        print(f"    [epoch-timing] {label}: {now - t0:.2f}s{cores}", flush=True)
     return now
 from dataclasses import dataclass, field
 
@@ -638,7 +659,22 @@ def run_crawl(
     start = store.latest_epoch() + 1
     if start == 0:
         t0 = time.time()
-        store.write_epoch(0, {"frontier": seeds_to_frontier(seeds)}, stats={"seeded": True})
+        if _TIMING:
+            _TLOG_CPU[:] = [_busy_jiffies()]
+        # rebalance=False: the seed list arrives with source partitioning
+        # (a file scan or range — already sized to the cluster), and the
+        # AQE rebalance coalesces the ~100 B/row frontier to 64 MB
+        # advisory chunks, capping the write at |seeds|·100 B / 64 MB
+        # tasks no matter how many executors exist (measured 0.35
+        # scaling efficiency / 3.5-of-8 busy cores on the 10^6-seed
+        # write, scaling_probe_r5.json). Epoch DELTA writes keep the
+        # rebalance — those are the KB-scale outputs it exists for.
+        store.write_epoch(
+            0,
+            {"frontier": seeds_to_frontier(seeds)},
+            stats={"seeded": True},
+            rebalance=False,
+        )
         _tlog("seed-write", t0)
         start = 1
     machine = PhaseMachine()

@@ -18,6 +18,7 @@ def get_spark(
     app_name: str = "crawler_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -25,12 +26,18 @@ def get_spark(
     to the core count (local mode has no network shuffle — more
     partitions than cores only adds scheduling overhead, fewer starves
     the executors).
+
+    ``master`` overrides the local[N] master string — the executor-
+    scaling benchmark passes ``local-cluster[N,C,M]``, the multi-JVM
+    single-machine analogue of a real cluster (separate executor
+    processes, netty shuffle, per-executor python worker pools); in a
+    real deployment this is where spark-submit's --master lands.
     """
     if shuffle_partitions is None:
         ncpu = os.cpu_count() or 8
         shuffle_partitions = ncpu if cores == "*" else int(cores)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

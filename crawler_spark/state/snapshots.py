@@ -135,7 +135,18 @@ VIRTUAL_FROM_FETCHED = {"visited", "images"}
 
 # Writer options for the payload table: image bytes are pre-compressed
 # content, so a parquet codec is pure CPU burn (see write_table doc).
-PAYLOAD_WRITE_OPTIONS = {"compression": "uncompressed"}
+# 32 MB row groups (default 128 MB): each write task keeps one row
+# group's column buffers LIVE in heap, so at executor concurrency the
+# default holds cores x 128 MB of churning buffer — measured 14-19 %
+# slower at 8 writers than 32 MB with no cost at 2 (paired A/B,
+# tools/scaling_probe.py PROBE_PARQUET_OPTS, 800k rows x 2 runs); for
+# a ~5 KB/row binary-payload table 32 MB still gives ~6k rows per
+# group and column pages of the pruned metadata columns stay separate,
+# so scan-side projection pruning is unaffected.
+PAYLOAD_WRITE_OPTIONS = {
+    "compression": "uncompressed",
+    "parquet.block.size": str(32 * 1024 * 1024),
+}
 
 
 class SnapshotStore:

@@ -22,6 +22,7 @@ def summarize(path: Path) -> dict:
     out = {
         "artifact": path.name,
         "pair": [lo, hi],
+        "mode": d.get("mode", "threads"),
         "rows_per_sec": {
             str(lo): d.get(f"rows_per_sec_local{lo}"),
             str(hi): d.get(f"rows_per_sec_local{hi}"),

@@ -76,16 +76,41 @@ def _child_pure(cpus: int, rows: int) -> float:
 
 
 def _pure_chunk(arg: tuple[int, int]) -> int:
+    import numpy as np
+
     from crawler_spark import fixtures as fx
 
+    # PROBE_MEM_PASSES: extra full copies of each payload, mimicking
+    # the real pipeline's additional memory passes (arrow
+    # serialization, JVM row conversion, parquet buffers, store write)
+    # on top of the UDF's own traffic. pure@passes=0 scaling vs
+    # pure@passes=k scaling separates "the box cannot scale this
+    # BYTES/s profile" from "the engine wastes cores".
+    passes = int(os.environ.get("PROBE_MEM_PASSES", "0"))
     start, n = arg[0] * arg[1], arg[1]
     total = 0
+    batch: list[bytes] = []
+    batch_bytes = 0
     for i in range(start, start + n):
         # skip the closed-form failures like the UDF does
         uh = (i * 2654435761) & 0x7FFFFFFFFFFFFFFF
         if uh % fx.FAIL_MOD == 0:
             continue
-        total += len(fx.py_fetch_payload(uh)["bytes"])
+        data = fx.py_fetch_payload(uh)["bytes"]
+        total += len(data)
+        if passes:
+            # batch to ~40 MB before copying, like the pipeline's
+            # arrow-batch/row-buffer passes: the copies must stream
+            # through DRAM (a per-row 5 KB copy would sit in L1 and
+            # test nothing)
+            batch.append(data)
+            batch_bytes += len(data)
+            if batch_bytes >= 40 << 20:
+                arr = np.frombuffer(b"".join(batch), dtype=np.uint8)
+                for _ in range(passes):
+                    arr = arr.copy()
+                total += int(arr[-1])
+                batch, batch_bytes = [], 0
     return total
 
 
