@@ -414,11 +414,30 @@ def run_epoch(
     # no 700 MB cache of image bytes, no recomputation of the fetch UDF
     # (at 100 TB the payload never fits in cache; write-once-then-derive
     # is the only plan shape that survives the scale-up).
-    results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
-    tp = _tlog("plan", t0)
-    store.write_table(
-        epoch, "fetched", results, options=PAYLOAD_WRITE_OPTIONS
-    )
+    # Payload writer (default arrow, SPARK_GRAFT_PAYLOAD_WRITER=jvm to
+    # revert): the fused path streams each task's batches straight into
+    # a pyarrow ParquetWriter and only a 1-row file manifest returns to
+    # the JVM — the payload bytes skip the Arrow->JVM->UnsafeRow->JVM-
+    # writer hop that the r5 scaling probes measured as the epoch's
+    # widest per-core-efficiency gap (fetch.fetch_write_plan). Measured
+    # +26 % epoch throughput, winning every interleaved pair
+    # (ab_writer_arrow.json); output files and read path identical,
+    # parity pinned in tests/test_fetch_writer.py.
+    if os.environ.get("SPARK_GRAFT_PAYLOAD_WRITER", "arrow") != "jvm":
+        plan = fetch_op.fetch_write_plan(
+            selected,
+            str(store.table_path(epoch, "fetched")),
+            salt_buckets=cfg.salt_buckets,
+        )
+        tp = _tlog("plan", t0)
+        if not plan.collect():  # zero-row epoch: no task wrote a file
+            fetch_op.write_empty_payload(str(store.table_path(epoch, "fetched")))
+    else:
+        results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
+        tp = _tlog("plan", t0)
+        store.write_table(
+            epoch, "fetched", results, options=PAYLOAD_WRITE_OPTIONS
+        )
     tp = _tlog("fetch+write", tp)
     fetched = store.read_table(epoch, "fetched")
 

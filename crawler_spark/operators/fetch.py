@@ -27,6 +27,7 @@ here, so UA = UAS[url_hash % 6] — recorded deviation (SURVEY §7).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Iterator
 
 import pandas as pd
@@ -100,16 +101,13 @@ FETCH_SCHEMA = (
 )
 
 
-def fetch(
+def _prepare(
     selected: DataFrame,
-    num_partitions: int | None = None,
-    salt_buckets: int = 8,
+    num_partitions: int | None,
+    salt_buckets: int,
 ) -> DataFrame:
-    """Fetch the selected rows; salted-by-host repartition (skew split).
-
-    A6 (http.py:410-466): ``method`` = POST for 'api'-type jobs, GET
-    otherwise — the column rides the same UDF seam (a real HTTP
-    fetcher dispatches requests.get/post on it)."""
+    """Shared fetch-input prep: method column (A6), salted-by-host
+    repartition (skew split), fixed input projection."""
     df = selected
     if "attempt" not in df.columns:
         df = df.withColumn("attempt", F.lit(1))
@@ -126,4 +124,152 @@ def fetch(
     return df.select(
         "url_canon", "url_hash", "host", "depth", "parent_url", "attempt",
         "priority", "method"
-    ).mapInPandas(_fetch_batches, schema=FETCH_SCHEMA)
+    )
+
+
+def fetch(
+    selected: DataFrame,
+    num_partitions: int | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Fetch the selected rows; salted-by-host repartition (skew split).
+
+    A6 (http.py:410-466): ``method`` = POST for 'api'-type jobs, GET
+    otherwise — the column rides the same UDF seam (a real HTTP
+    fetcher dispatches requests.get/post on it)."""
+    return _prepare(selected, num_partitions, salt_buckets).mapInPandas(
+        _fetch_batches, schema=FETCH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused fetch + Python-side parquet write.
+#
+# The scaling attribution chain (BASELINE.md r5, scaling_probe_r5*.json)
+# measured the payload-parquet WRITE as the widest per-core-efficiency gap
+# in the epoch: the fetch UDF alone scales at the box's DRAM ceiling
+# (0.68-0.88), adding the JVM writer drops it to 0.55-0.64. The JVM path
+# pays Arrow->JVM columnar->UnsafeRow conversion and the JVM parquet
+# writer; both are pure overhead for bytes that were just produced in the
+# Python worker as Arrow buffers. This path writes each task's parquet
+# file directly from the Python worker with pyarrow — the payload bytes
+# never cross into the JVM at all; only a 1-row-per-task file manifest
+# comes back. Commit protocol: each task writes part-<pid>.parquet via a
+# temp name + atomic os.replace keyed by partition id, so a task retry
+# converges to one complete file (content is deterministic per input
+# split). On a real cluster this requires the store root on shared
+# storage (HDFS/NFS/fuse) — the same contract the JVM writer has; an
+# object-store deployment would swap os.replace for a conditional PUT.
+
+#: pandas/Arrow column order of a fetch-result batch (mirrors FETCH_SCHEMA)
+FETCH_COLS = [
+    "url_canon", "url_hash", "host", "depth", "parent_url", "attempt",
+    "priority", "status", "image_id", "bytes", "w", "h", "fmt", "caption",
+    "phash", "ua_index", "method",
+]
+
+#: ~32 MB row groups at the ~5 KB/row payload profile — same target the
+#: JVM writer uses (snapshots.PAYLOAD_WRITE_OPTIONS, measured 14-19 %
+#: faster than 128 MB groups at 8 concurrent writers).
+ROWS_PER_GROUP = 6144
+
+
+def _pa_fetch_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("url_canon", pa.string()), ("url_hash", pa.int64()),
+        ("host", pa.string()), ("depth", pa.int32()),
+        ("parent_url", pa.string()), ("attempt", pa.int32()),
+        ("priority", pa.int32()), ("status", pa.int32()),
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("ua_index", pa.int32()), ("method", pa.string()),
+    ])
+
+
+def fetch_write_plan(
+    selected: DataFrame,
+    dest: str,
+    num_partitions: int | None = None,
+    salt_buckets: int = 8,
+    rows_per_group: int = ROWS_PER_GROUP,
+) -> DataFrame:
+    """Lazy plan that fetches ``selected`` AND writes the payload
+    parquet from inside the Python workers (see module comment above).
+
+    Returns the 1-row-per-task file-manifest DataFrame; executing it
+    (``.collect()``) runs the fused fetch+write. The destination
+    directory is cleared eagerly driver-side (same overwrite semantics
+    as ``SnapshotStore.write_table``)."""
+    import shutil
+
+    dest_dir = Path(dest)
+    if dest_dir.exists():
+        shutil.rmtree(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    dest_s = str(dest_dir)
+
+    def write_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.attemptNumber() if ctx else 0
+        schema = _pa_fetch_schema()
+        writer = None
+        tmp = final = None
+        rows = 0
+        for out in _fetch_batches(it):
+            tbl = pa.Table.from_pandas(
+                out[FETCH_COLS], schema=schema, preserve_index=False
+            )
+            if writer is None:
+                final = os.path.join(dest_s, f"part-{pid:05d}.parquet")
+                tmp = f"{final}.inprogress-{attempt}"
+                writer = pq.ParquetWriter(
+                    tmp,
+                    schema,
+                    compression="none",  # payload bytes are pre-compressed
+                    use_dictionary=["host", "fmt", "method"],
+                    # min/max stats on prunable columns only — hashing
+                    # the image bytes for never-used stats is pure cost
+                    write_statistics=[
+                        "url_hash", "host", "depth", "attempt", "priority",
+                        "status", "w", "h", "fmt", "phash", "ua_index",
+                        "method",
+                    ],
+                )
+            writer.write_table(tbl, row_group_size=rows_per_group)
+            rows += len(out)
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, final)
+            yield pd.DataFrame({"file": [final], "rows": [rows]})
+
+    return _prepare(selected, num_partitions, salt_buckets).mapInPandas(
+        write_partition, schema="file string, rows long"
+    )
+
+
+def write_empty_payload(dest: str) -> None:
+    """Driver-side fallback for a zero-row epoch: tasks with no rows
+    write no file, but a parquet directory with NO files cannot even
+    be schema-inferred by the scan — so materialize one empty
+    schema-carrying file (what the JVM writer's commit does)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _pa_fetch_schema()
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema
+        ),
+        str(Path(dest) / "part-empty.parquet"),
+        compression="none",
+    )

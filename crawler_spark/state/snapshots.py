@@ -188,6 +188,10 @@ class SnapshotStore:
                 total += int(v)
         return total
 
+    def table_path(self, epoch: int, name: str) -> Path:
+        """Filesystem path of one table's epoch partition."""
+        return self.root / name / f"epoch={epoch}"
+
     # -- write ---------------------------------------------------------------
 
     def write_table(
@@ -224,7 +228,7 @@ class SnapshotStore:
         columns ship uncompressed; only the small string/metadata
         columns would benefit from a codec, and they are a ~1 % of
         the bytes."""
-        path = self.root / name / f"epoch={epoch}"
+        path = self.table_path(epoch, name)
         out = df.hint("rebalance") if rebalance else df
         w = out.write.mode("overwrite")
         for k, v in (options or {}).items():
@@ -233,7 +237,7 @@ class SnapshotStore:
 
     def read_table(self, epoch: int, name: str) -> DataFrame:
         """Read back one (possibly not-yet-committed) epoch partition."""
-        path = self.root / name / f"epoch={epoch}"
+        path = self.table_path(epoch, name)
         return self.spark.read.option(
             "basePath", str(self._table_root(name))
         ).parquet(str(path))
