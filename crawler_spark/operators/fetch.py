@@ -231,7 +231,12 @@ def fetch_write_plan(
             )
             if writer is None:
                 final = os.path.join(dest_s, f"part-{pid:05d}.parquet")
-                tmp = f"{final}.inprogress-{attempt}"
+                # dot-prefixed temp name: Spark's file listing skips
+                # "."/"_" files, so a killed attempt's leftover can
+                # never be picked up as data by a later scan
+                tmp = os.path.join(
+                    dest_s, f".part-{pid:05d}-{attempt}.inprogress"
+                )
                 writer = pq.ParquetWriter(
                     tmp,
                     schema,

@@ -81,6 +81,10 @@ def test_arrow_writer_overwrite(spark, tmp_path):
     assert set(os.listdir(dest)) <= first
     assert spark.read.parquet(str(dest)).count() == 150
     assert not [f for f in os.listdir(dest) if ".inprogress" in f]
+    # a stale temp from a killed attempt must be invisible to the scan
+    # (dot-prefixed names are skipped by Spark's file listing)
+    (dest / ".part-99999-0.inprogress").write_bytes(b"garbage")
+    assert spark.read.parquet(str(dest)).count() == 150
 
 
 def test_arrow_writer_empty_input(spark, tmp_path):
