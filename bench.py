@@ -171,7 +171,13 @@ def bench_frontier(spark) -> tuple[float, int]:
     from crawler_spark.epoch import EpochConfig, run_crawl
     from crawler_spark.state.snapshots import SnapshotStore
 
-    cfg = EpochConfig(epoch_budget=None, num_buckets=64, use_bloom=False)
+    # SPARK_GRAFT_FETCH_PARTS: explicit fetch-stage task count (the
+    # exec-mode balance experiment — see EpochConfig.fetch_partitions)
+    fetch_parts = int(os.environ.get("SPARK_GRAFT_FETCH_PARTS", "0")) or None
+    cfg = EpochConfig(
+        epoch_budget=None, num_buckets=64, use_bloom=False,
+        fetch_partitions=fetch_parts,
+    )
     # SPARK_GRAFT_BENCH_STORE_DIR: parent dir for the snapshot store
     # (e.g. /dev/shm for the scaling runs — models the executor-LOCAL
     # SSDs of a real cluster, which scale with node count; the single
@@ -571,6 +577,10 @@ def run_scaling(sf_dir: str, trials: int = 3) -> None:
         "seeds": int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1000000")),
         "epochs": int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "1")),
         "pinned": os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0",
+        # fetch-stage task count override (exec-mode balance lever —
+        # EpochConfig.fetch_partitions); absent key = default layout
+        **({"fetch_partitions": int(os.environ["SPARK_GRAFT_FETCH_PARTS"])}
+           if os.environ.get("SPARK_GRAFT_FETCH_PARTS") else {}),
         # /dev/shm models executor-LOCAL disks (which scale with node
         # count on a real cluster); the default shared /tmp disk's
         # write-back flusher is a fixed-bandwidth serial term that

@@ -106,6 +106,18 @@ class EpochConfig:
     # reference's persistent seen set, crawler.py:167) instead of
     # rebuilding from a full visited scan — see _seen_filter_for_epoch
     persist_seen_filter: bool = True
+    # task count for the fetch stage (None → spark.sql.shuffle.
+    # partitions). The fetch is the epoch's dominant phase and its
+    # tasks are pinned 1:1 to cores when this equals total cores — any
+    # per-task variance then idles a core for the whole tail. On a
+    # multi-executor cluster each executor drains its OWN queue, so
+    # single-digit tasks per executor is the worst case for balance
+    # (BASELINE.md r5 exec-mode attribution: wide runs held 6.3-7.1 of
+    # 8 granted cores). Setting this to ~4x total cores gives each
+    # executor enough tasks to amortize its tail; at 10^10-URL scale
+    # the per-epoch selection is millions of rows, so the extra tasks
+    # cost nothing relative to the balance win.
+    fetch_partitions: int | None = None
 
 
 def seeds_to_frontier(seeds: DataFrame, url_col: str = "url") -> DataFrame:
@@ -427,13 +439,18 @@ def run_epoch(
         plan = fetch_op.fetch_write_plan(
             selected,
             str(store.table_path(epoch, "fetched")),
+            num_partitions=cfg.fetch_partitions,
             salt_buckets=cfg.salt_buckets,
         )
         tp = _tlog("plan", t0)
         if not plan.collect():  # zero-row epoch: no task wrote a file
             fetch_op.write_empty_payload(str(store.table_path(epoch, "fetched")))
     else:
-        results = fetch_op.fetch(selected, salt_buckets=cfg.salt_buckets)
+        results = fetch_op.fetch(
+            selected,
+            num_partitions=cfg.fetch_partitions,
+            salt_buckets=cfg.salt_buckets,
+        )
         tp = _tlog("plan", t0)
         store.write_table(
             epoch, "fetched", results, options=PAYLOAD_WRITE_OPTIONS

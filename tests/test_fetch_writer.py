@@ -123,3 +123,46 @@ def test_crawl_state_identical_across_writers(spark, tmp_path, monkeypatch):
 
     for table in ("visited", "images", "failed", "metrics", "frontier"):
         assert rowset(s_jvm, table) == rowset(s_arr, table), table
+
+def test_fetch_partitions_knob_parity(spark, tmp_path):
+    """EpochConfig.fetch_partitions changes only the task layout of the
+    fetch stage (file count == task count), never the result set —
+    the exec-mode balance lever (BASELINE.md r5) is semantics-free."""
+    seeds = fx.seeds_df(spark, 120, 10)
+    robots = fx.robots_rules_df(spark, 10)
+
+    stores = {}
+    for name, parts in (("default", None), ("fine", 24)):
+        cfg = EpochConfig(
+            num_buckets=8, epoch_seconds=10.0, epoch_budget=300,
+            fetch_partitions=parts,
+        )
+        stores[name] = SnapshotStore(spark, tmp_path / name)
+        run_crawl(
+            spark, stores[name], seeds, cfg, num_epochs=2,
+            robots_rules=robots,
+        )
+
+    def rowset(store, table):
+        return {
+            tuple(bytes(v) if isinstance(v, bytearray) else v for v in r)
+            for r in store.read_upto(table).collect()
+        }
+
+    for table in ("visited", "images", "failed", "metrics", "frontier"):
+        assert rowset(stores["default"], table) == rowset(
+            stores["fine"], table
+        ), table
+    # the knob actually took effect: one payload file per fetch task
+    fine_files = [
+        f
+        for f in os.listdir(tmp_path / "fine" / "fetched" / "epoch=1")
+        if f.endswith(".parquet")
+    ]
+    assert len(fine_files) <= 24  # empty tasks write no file
+    default_files = [
+        f
+        for f in os.listdir(tmp_path / "default" / "fetched" / "epoch=1")
+        if f.endswith(".parquet")
+    ]
+    assert len(fine_files) > len(default_files)
